@@ -1,0 +1,115 @@
+"""Model configuration for the Llama-family decoder zoo.
+
+Covers the architectures the reference supports via its HF registry
+(quantization/clip_utils.py:234-290: Llama, Qwen2, Qwen3, Phi-3, Gemma-3,
+TinyLlama is a Llama config). One config dataclass, feature-flag driven,
+instead of per-architecture model classes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    # architecture feature flags
+    attention_bias: bool = False  # Qwen2-style qkv bias
+    mlp_bias: bool = False
+    qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
+    # gemma-style: normalize embeddings by sqrt(hidden), approx-gelu MLP
+    embedding_multiplier: float = 1.0
+    hidden_act: str = "silu"  # "silu" | "gelu" | "gelu_tanh"
+    # sliding window attention (None = global); per-layer pattern later
+    sliding_window: Optional[int] = None
+    dtype: str = "bfloat16"
+
+    @property
+    def actual_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.actual_head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.actual_head_dim
+
+    @staticmethod
+    def from_hf_config(cfg: dict) -> "ModelConfig":
+        """Build from a HF config.json dict (llama/qwen2/qwen3/tinyllama...)."""
+        model_type = cfg.get("model_type", "llama")
+        act = cfg.get("hidden_act", "silu")
+        if act == "gelu_pytorch_tanh":
+            act = "gelu_tanh"
+        return ModelConfig(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", model_type == "qwen2"),
+            qk_norm=model_type == "qwen3",
+            hidden_act=act,
+            sliding_window=cfg.get("sliding_window")
+            if cfg.get("use_sliding_window", False)
+            else None,
+        )
+
+    @staticmethod
+    def from_pretrained(path: str) -> "ModelConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return ModelConfig.from_hf_config(json.load(f))
+
+
+# Handy presets for tests and benches.
+TINY_TEST = ModelConfig(
+    vocab_size=256,
+    hidden_size=128,
+    intermediate_size=256,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    max_position_embeddings=512,
+)
+
+TINYLLAMA_1B = ModelConfig(
+    vocab_size=32000,
+    hidden_size=2048,
+    intermediate_size=5632,
+    num_layers=22,
+    num_heads=32,
+    num_kv_heads=4,
+    max_position_embeddings=2048,
+)
+
+LLAMA2_7B = ModelConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=11008,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=32,
+    max_position_embeddings=4096,
+)

@@ -1,0 +1,113 @@
+"""Functional building blocks for the decoder: linear dispatch, RMSNorm, RoPE,
+attention, MLP. Pure functions over param pytrees; no module framework.
+
+Numerics follow HF's Llama implementation (rotate-half RoPE, f32 RMSNorm
+accumulation) so weights imported from HF checkpoints reproduce logits. The
+QAT fake-quant forward mirrors the reference's QLinear on-the-fly weight
+quantization (quantization/qlinear.py:63-77): latent weights live in the
+params pytree, the quantizer runs inside every forward, gradients flow via STE.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quant_matmul import quant_matmul
+from ..quant.packing import PackedLinear
+
+# A "linear" param leaf is either
+#   {"w": [K, N], "b"?: [N]}                      dense / fake-quant
+#   {"qweight", "scales", "szeros", "b"?, meta}   packed (PackedLinear fields)
+Quantizer = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
+
+
+def linear(params, x: jnp.ndarray, quantizer: Quantizer = None) -> jnp.ndarray:
+    """Apply a linear layer in whichever representation the params carry."""
+    if isinstance(params, PackedLinear):
+        return quant_matmul(x, params)
+    w = params["w"]
+    if quantizer is not None:
+        w = quantizer(w.astype(jnp.float32)).astype(x.dtype)
+    else:
+        w = w.astype(x.dtype)
+    out = x @ w
+    b = params.get("b")
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """T5/Llama RMS norm; variance in f32 (matches HF LlamaRMSNorm)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for rotate-half RoPE. positions: [...]; out [..., head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [..., S, H, D]; cos/sin: [..., S, D] (broadcast over heads)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    return (x * c + rotated * s).astype(x.dtype)
+
+
+def _activation(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {name}")
+
+
+def causal_attention(
+    q: jnp.ndarray,  # [B, S, Hq, D]
+    k: jnp.ndarray,  # [B, T, Hkv, D]
+    v: jnp.ndarray,  # [B, T, Hkv, D]
+    mask: jnp.ndarray | None,  # [B, 1, S, T] additive or bool, or None = causal
+    *,
+    causal_offset: int = 0,
+) -> jnp.ndarray:
+    """GQA scaled-dot-product attention; f32 softmax accumulation."""
+    b, s, hq, d = q.shape
+    t = k.shape[1]
+    hkv = k.shape[2]
+    rep = hq // hkv
+    qg = q.reshape(b, s, hkv, rep, d)
+    scores = jnp.einsum(
+        "bshrd,bthd->bhrst", qg, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(d).astype(jnp.float32)
+    if mask is None:
+        q_pos = jnp.arange(s)[:, None] + causal_offset
+        k_pos = jnp.arange(t)[None, :]
+        allow = k_pos <= q_pos  # [S, T]
+        scores = jnp.where(allow[None, None, None], scores, -jnp.inf)
+    else:
+        if mask.dtype == jnp.bool_:
+            scores = jnp.where(mask[:, :, None], scores, -jnp.inf)
+        else:
+            scores = scores + mask[:, :, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhrst,bthd->bshrd", probs.astype(v.dtype), v)
+    return out.reshape(b, s, hq, d)

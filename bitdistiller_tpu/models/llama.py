@@ -1,0 +1,219 @@
+"""Llama-family decoder as pure functions over a stacked-layer param pytree.
+
+TPU-first design notes:
+  * All decoder layers are stacked along a leading L axis and iterated with
+    `jax.lax.scan` — one compiled block regardless of depth, remat-friendly
+    (`jax.checkpoint` on the block body = the reference's gradient
+    checkpointing, scripts/train/train.sh:38).
+  * Three weight representations flow through the same forward: dense bf16,
+    fake-quant QAT (quantizer closure applied to every linear weight inside
+    the scan body — parity with QLinear's quantize-on-forward,
+    quantization/qlinear.py:63-77), and packed low-bit (PackedLinear leaves
+    dispatched to the Pallas dequant-matmul).
+  * KV cache is a statically-shaped [L, B, T_max, Hkv, Dh] buffer updated with
+    dynamic_update_slice — the TPU analogue of the reference's preallocated
+    cache (inference/models/llama.py:110-138) without the FT packed-K layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .layers import (
+    Quantizer,
+    apply_rope,
+    causal_attention,
+    linear,
+    rms_norm,
+    rope_cos_sin,
+    _activation,
+)
+
+Params = dict
+LAYER_LINEARS = ("q", "k", "v", "o", "gate", "up", "down")
+# names matching the reference's clip-skip list (autoclip.py:96-98): q/k are
+# never clipped due to the qk matmul sensitivity
+CLIP_SKIP = ("q", "k")
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, T, Hkv, Dh]
+    v: jnp.ndarray  # [L, B, T, Hkv, Dh]
+
+    @staticmethod
+    def init(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.actual_head_dim)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
+    """Random init (tests / from-scratch); layout matches hf_import output."""
+    keys = jax.random.split(key, 10)
+    d, hq, hkv, dh = (
+        cfg.hidden_size,
+        cfg.num_heads,
+        cfg.num_kv_heads,
+        cfg.actual_head_dim,
+    )
+    ffn = cfg.intermediate_size
+    L = cfg.num_layers
+
+    def dense(key, shape, scale=None):
+        scale = scale or (1.0 / jnp.sqrt(shape[-2]))
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    def lin(key, k_dim, n_dim, bias=False):
+        leaf = {"w": dense(key, (L, k_dim, n_dim))}
+        if bias:
+            leaf["b"] = jnp.zeros((L, n_dim), dtype)
+        return leaf
+
+    layers = {
+        "input_norm": jnp.ones((L, d), dtype),
+        "post_attn_norm": jnp.ones((L, d), dtype),
+        "q": lin(keys[0], d, hq * dh, cfg.attention_bias),
+        "k": lin(keys[1], d, hkv * dh, cfg.attention_bias),
+        "v": lin(keys[2], d, hkv * dh, cfg.attention_bias),
+        "o": lin(keys[3], hq * dh, d),
+        "gate": lin(keys[4], d, ffn, cfg.mlp_bias),
+        "up": lin(keys[5], d, ffn, cfg.mlp_bias),
+        "down": lin(keys[6], ffn, d, cfg.mlp_bias),
+    }
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, dh), dtype)
+        layers["k_norm"] = jnp.ones((L, dh), dtype)
+    params = {
+        "embed": dense(keys[7], (cfg.vocab_size, d), scale=0.02),
+        "final_norm": jnp.ones((d,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w": dense(keys[8], (d, cfg.vocab_size))}
+    return params
+
+
+def _block(
+    cfg: ModelConfig,
+    lp: Params,
+    h: jnp.ndarray,  # [B, S, D]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,  # ([B,T,Hkv,Dh],)*2
+    cache_pos,
+    quantizer: Quantizer,
+    causal_offset: int = 0,
+):
+    b, s, d = h.shape
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
+
+    x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+    q = linear(lp["q"], x, quantizer).reshape(b, s, hq, dh)
+    k = linear(lp["k"], x, quantizer).reshape(b, s, hkv, dh)
+    v = linear(lp["v"], x, quantizer).reshape(b, s, hkv, dh)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        attn = causal_attention(q, ck, cv, mask, causal_offset=causal_offset)
+        new_cache = (ck, cv)
+    else:
+        attn = causal_attention(q, k, v, mask, causal_offset=causal_offset)
+        new_cache = None
+
+    h = h + linear(lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype), quantizer)
+    x = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+    act = _activation(cfg.hidden_act)
+    mlp = linear(lp["down"], act(linear(lp["gate"], x, quantizer)) * linear(lp["up"], x, quantizer), quantizer)
+    return h + mlp, new_cache
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B, S] int32
+    *,
+    quantizer: Quantizer = None,
+    cache: Optional[KVCache] = None,
+    cache_pos: int | jnp.ndarray = 0,
+    kv_valid: Optional[jnp.ndarray] = None,  # [B, T] bool — engine-provided
+    attn_mask: Optional[jnp.ndarray] = None,  # [B, S] padding mask (training)
+    remat: bool = False,
+    logits_dtype=jnp.float32,
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder. Returns (logits [B, S, V], updated cache or None)."""
+    b, s = tokens.shape
+    compute_dtype = jnp.dtype(cfg.dtype)
+    h = params["embed"][tokens].astype(compute_dtype)
+    if cfg.embedding_multiplier != 1.0:
+        h = h * jnp.asarray(cfg.embedding_multiplier, compute_dtype)
+
+    positions = jnp.arange(s) + cache_pos  # [S]
+    cos, sin = rope_cos_sin(positions[None, :], cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
+
+    # Build the attention mask once, outside the scan.
+    if cache is not None:
+        t = cache.k.shape[2]
+        k_pos = jnp.arange(t)[None, :]  # [1, T]
+        allow = k_pos <= positions[:, None]  # [S, T]
+        mask = jnp.broadcast_to(allow[None], (b, s, t))
+        if kv_valid is not None:
+            mask = mask & kv_valid[:, None, :]
+        mask = mask[:, None]  # [B, 1, S, T]
+    elif attn_mask is not None:
+        allow = jnp.tril(jnp.ones((s, s), bool))
+        mask = allow[None, None] & attn_mask[:, None, None, :].astype(bool)
+    else:
+        mask = None  # pure causal, handled inside attention
+
+    lp_stack = params["layers"]
+
+    def body(carry, layer_in):
+        hidden = carry
+        if cache is None:
+            lp = layer_in
+            new_h, _ = _block(cfg, lp, hidden, cos, sin, mask, None, 0, quantizer)
+            return new_h, None
+        lp, ck, cv = layer_in
+        new_h, new_kv = _block(
+            cfg, lp, hidden, cos, sin, mask, (ck, cv), cache_pos, quantizer
+        )
+        return new_h, new_kv
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    if cache is None:
+        h, _ = jax.lax.scan(body, h, lp_stack)
+        new_cache = None
+    else:
+        h, (nk, nv) = jax.lax.scan(body, h, (lp_stack, cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv)
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = h @ params["embed"].T.astype(h.dtype)
+    else:
+        logits = linear(params["lm_head"], h)
+    return logits.astype(logits_dtype), new_cache
+
+
+def fake_quant_weights(params: Params, quantizer) -> Params:
+    """Apply a fake quantizer to all layer linear weights once (PTQ-style,
+    parity with test/test_utils.py:68-85 pseudo_quantize_model_weight)."""
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    for name in LAYER_LINEARS:
+        leaf = out["layers"][name]
+        w = leaf["w"].astype(jnp.float32)
+        leaf["w"] = jax.vmap(quantizer)(w).astype(params["layers"][name]["w"].dtype)
+    return out

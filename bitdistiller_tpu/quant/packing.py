@@ -1,0 +1,139 @@
+"""Packed sub-byte weight storage for the low-bit inference path.
+
+Reference parity: quantization/qmodule.py:41-146 packs int2/int4 codes into
+int32 words along the *input-channel* axis ([OC, IC/pack] with CUDA-warp-friendly
+ordering). Here the layout is redesigned for TPU tiling instead of translated:
+
+  qweight : int32 [K // pack, N]   pack = 32 // bits (16 @ int2, 8 @ int4)
+  scales  : f32   [K // G, N]
+  szeros  : f32   [K // G, N]      (= zeros * scales, so dequant is one FMA)
+
+* N (output features) is the minor/lane dimension -> a [*, 128] tile maps
+  directly onto VPU lanes and MXU columns; unpacking is a per-lane shift+mask.
+* K is packed *sublane-major within each group*: with R = G // pack packed
+  rows per group, word (g, r) bit-field i holds the code for k = g*G + i*R + r.
+  In-kernel unpacking is then a static concat of the `pack` shift+mask
+  extractions — extraction i yields rows [i*R, (i+1)*R) of the group in
+  order — with no cross-lane shuffles or sublane interleaves.
+* Dequant: w[k, n] = q[k, n] * scales[k//G, n] - szeros[k//G, n].
+
+The weight convention is W : [K, N] (x @ W), i.e. transposed from HF's [out, in].
+Group statistics are per (output feature, K-group), identical group contents to
+the reference's per-OC-row grouping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import core
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qweight", "scales", "szeros", "bias"],
+    meta_fields=["bits", "group_size", "in_features", "out_features"],
+)
+@dataclasses.dataclass
+class PackedLinear:
+    """Packed low-bit linear layer weights (a pytree; meta fields are static)."""
+
+    qweight: jnp.ndarray  # int32 [K // pack, N]
+    scales: jnp.ndarray  # f32 [K // G, N]
+    szeros: jnp.ndarray  # f32 [K // G, N] == zeros * scales
+    bias: jnp.ndarray | None
+    bits: int
+    group_size: int
+    in_features: int
+    out_features: int
+
+    @property
+    def pack(self) -> int:
+        return 32 // self.bits
+
+
+def _layout_dims(k: int, bits: int, group_size: int) -> tuple[int, int, int]:
+    pack = 32 // bits
+    g = group_size if group_size > 0 else k
+    if k % g != 0:
+        raise ValueError(f"K={k} must be divisible by group_size={g}")
+    if g % pack != 0:
+        raise ValueError(f"group_size={g} must be divisible by pack={pack}")
+    return pack, g, g // pack
+
+
+def pack_codes(q_kn: jnp.ndarray, bits: int, group_size: int = 128) -> jnp.ndarray:
+    """Pack integer codes [K, N] (values in [0, 2^bits)) into int32 [K//pack, N].
+
+    Sublane-major order: word (g, r) field i <- code k = g*G + i*R + r.
+    """
+    k, n = q_kn.shape
+    pack, g, r = _layout_dims(k, bits, group_size)
+    q = q_kn.astype(jnp.uint32).reshape(k // g, pack, r, n)
+    shifts = (jnp.arange(pack, dtype=jnp.uint32) * bits)[None, :, None, None]
+    words = jnp.sum(q << shifts, axis=1, dtype=jnp.uint32)  # fields are disjoint
+    return words.reshape(k // pack, n).astype(jnp.int32)
+
+
+def unpack_codes(qweight: jnp.ndarray, bits: int, group_size: int = 128) -> jnp.ndarray:
+    """Unpack int32 [K//pack, N] back to integer codes [K, N] (XLA reference path)."""
+    kp, n = qweight.shape
+    pack = 32 // bits
+    k = kp * pack
+    _, g, r = _layout_dims(k, bits, group_size)
+    mask = jnp.uint32((1 << bits) - 1)
+    w = qweight.astype(jnp.uint32).reshape(k // g, 1, r, n)
+    shifts = (jnp.arange(pack, dtype=jnp.uint32) * bits)[None, :, None, None]
+    codes = (w >> shifts) & mask  # [K//G, pack, R, N]
+    return codes.reshape(k, n).astype(jnp.int32)
+
+
+def quantize_pack_linear(
+    w_kn: jnp.ndarray,
+    bits: int,
+    group_size: int = 128,
+    bias: jnp.ndarray | None = None,
+) -> PackedLinear:
+    """Quantize a [K, N] weight matrix and pack it.
+
+    Value semantics match quantizer.py:25-69 (get_scale_zp path): per-group
+    asymmetric min/max scale/zero with round-half-even.
+    """
+    k, n = w_kn.shape
+    g = group_size if group_size > 0 else k
+    if k % g != 0:
+        raise ValueError(f"K={k} not divisible by group_size={g}")
+    wf = w_kn.astype(jnp.float32)
+    wg = wf.reshape(k // g, g, n)
+    max_int = 2**bits - 1
+    max_val = wg.max(axis=1)  # [K//G, N]
+    min_val = wg.min(axis=1)
+    scales = jnp.clip(max_val - min_val, 1e-5, None) / max_int
+    zeros = jnp.clip(-jnp.round(min_val / scales), 0, max_int)
+    q = jnp.clip(
+        jnp.round(wg / scales[:, None, :]) + zeros[:, None, :], 0, max_int
+    ).astype(jnp.int32)
+    qweight = pack_codes(q.reshape(k, n), bits, g)
+    return PackedLinear(
+        qweight=qweight,
+        scales=scales,
+        szeros=zeros * scales,
+        bias=None if bias is None else jnp.asarray(bias),
+        bits=bits,
+        group_size=g,
+        in_features=k,
+        out_features=n,
+    )
+
+
+def dequantize_linear(p: PackedLinear, dtype=jnp.float32) -> jnp.ndarray:
+    """Reconstruct the dense [K, N] weight (XLA reference path)."""
+    q = unpack_codes(p.qweight, p.bits, p.group_size).astype(jnp.float32)
+    g = p.group_size
+    scales = jnp.repeat(p.scales, g, axis=0)
+    szeros = jnp.repeat(p.szeros, g, axis=0)
+    return (q * scales - szeros).astype(dtype)

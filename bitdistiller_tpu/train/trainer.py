@@ -1,0 +1,201 @@
+"""KD-QAT training loop: jitted teacher+student step with CAKLD.
+
+Reference parity (train/train.py:378-525, mytrainer.py:81-241):
+  * teacher = frozen dense params, student = same weights trained through a
+    fake-quant forward (STE) — both run in ONE jitted step (the reference
+    does two separate module calls; here XLA fuses/schedules them together).
+  * CAKLD coefficient = mean over `cakld_steps` batches of the teacher's mean
+    max softmax prob, all-reduced over data ranks (train.py:486-511) — here a
+    jitted prologue; the mesh mean replaces dist.all_reduce.
+  * optimizer: AdamW + constant or warmup-cosine schedule (train.sh:24-57);
+    grad accumulation via optax.MultiSteps; bf16 params with f32 optimizer
+    state; optimizer state sharded over dp (ZeRO-equivalent) by pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import config as mcfg
+from ..models import llama
+from .losses import IGNORE_INDEX, kd_loss
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Mirror of the reference TrainingArguments extension (train/train.py:89-137)."""
+
+    bits: int = 2
+    q_group_size: int = 128
+    quant_type: str = "int2-asym"  # or "ste-n2f3"
+    train_kd: bool = True
+    kd_loss_type: str = "cakld"
+    kd_tmp: float = 1.0
+    cakld_steps: int = 10
+    learning_rate: float = 8e-6
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    warmup_ratio: float = 0.0
+    lr_scheduler: str = "constant"  # "constant" | "cosine"
+    total_steps: int = 1000
+    grad_accum: int = 1
+    max_grad_norm: float = 1.0
+    gradient_checkpointing: bool = True
+    kd_loss_scale: float = 1.0
+
+
+def make_quantizer(tc: TrainConfig):
+    from ..quant.core import make_fake_quantizer
+
+    return make_fake_quantizer(tc.quant_type, tc.q_group_size)
+
+
+def make_schedule(tc: TrainConfig):
+    warmup = int(tc.warmup_ratio * tc.total_steps)
+    if tc.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else tc.learning_rate,
+            peak_value=tc.learning_rate,
+            warmup_steps=max(warmup, 1) if warmup else 0,
+            decay_steps=tc.total_steps,
+            end_value=0.0,
+        )
+    if warmup:
+        return optax.linear_schedule(0.0, tc.learning_rate, warmup)
+    return optax.constant_schedule(tc.learning_rate)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    opt = optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(
+            learning_rate=make_schedule(tc),
+            b1=tc.adam_b1,
+            b2=tc.adam_b2,
+            eps=tc.adam_eps,
+            weight_decay=tc.weight_decay,
+        ),
+    )
+    if tc.grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=tc.grad_accum)
+    return opt
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any  # student latent weights (trained)
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):  # pragma: no cover - registered below
+        return (self.params, self.opt_state, self.step), None
+
+
+jax.tree_util.register_dataclass(TrainState, ["params", "opt_state", "step"], [])
+
+
+def init_train_state(params, tc: TrainConfig) -> TrainState:
+    opt = make_optimizer(tc)
+    # optimizer state in f32 even for bf16 params
+    f32_params = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    return TrainState(params=f32_params, opt_state=opt.init(f32_params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    cfg: mcfg.ModelConfig,
+    tc: TrainConfig,
+    teacher_params=None,
+) -> Callable:
+    """Build the jittable (state, batch, beta) -> (state, metrics) step.
+
+    batch: dict(input_ids [B,S], labels [B,S], attention_mask [B,S]).
+    If teacher_params is None the step trains with plain CE on labels
+    (the reference's non-KD branch, train.py:521-522).
+    """
+    quantizer = make_quantizer(tc) if tc.quant_type else None
+    opt = make_optimizer(tc)
+
+    def loss_fn(params, batch, beta):
+        student_logits, _ = llama.forward(
+            params,
+            cfg,
+            batch["input_ids"],
+            quantizer=quantizer,
+            attn_mask=batch.get("attention_mask"),
+            remat=tc.gradient_checkpointing,
+        )
+        if teacher_params is not None and tc.train_kd:
+            teacher_logits, _ = llama.forward(
+                jax.lax.stop_gradient(teacher_params),
+                cfg,
+                batch["input_ids"],
+                attn_mask=batch.get("attention_mask"),
+                remat=tc.gradient_checkpointing,
+            )
+            teacher_logits = jax.lax.stop_gradient(teacher_logits)
+            loss = tc.kd_loss_scale * kd_loss(
+                tc.kd_loss_type,
+                batch["labels"],
+                student_logits,
+                teacher_logits,
+                beta=beta,
+                temperature=tc.kd_tmp,
+            )
+        else:
+            labels = batch["labels"]
+            shift_logits = student_logits[:, :-1]
+            shift_labels = labels[:, 1:]
+            valid = shift_labels != IGNORE_INDEX
+            safe = jnp.where(valid, shift_labels, 0)
+            logp = jax.nn.log_softmax(shift_logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return loss
+
+    def train_step(state: TrainState, batch, beta):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, beta)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
+
+
+def make_cakld_beta_fn(cfg: mcfg.ModelConfig) -> Callable:
+    """Jittable per-batch mean max-prob of the teacher (train.py:497-507).
+
+    Average the returned values over cakld_steps batches, then mean across
+    data-parallel shards (the all_reduce at train.py:509-510) — with pjit
+    the global mean over a sharded batch IS the all-reduce.
+    """
+
+    def batch_mean_prob(teacher_params, batch):
+        logits, _ = llama.forward(
+            teacher_params, cfg, batch["input_ids"], attn_mask=batch.get("attention_mask")
+        )
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.max(prob, axis=-1).mean()
+
+    return batch_mean_prob
+
+
+def estimate_cakld_beta(teacher_params, cfg, batches, jit_fn=None) -> jnp.ndarray:
+    fn = jit_fn or jax.jit(make_cakld_beta_fn(cfg))
+    total = 0.0
+    n = 0
+    for batch in batches:
+        total = total + fn(teacher_params, batch)
+        n += 1
+    return total / max(n, 1)

@@ -1,0 +1,115 @@
+"""KD loss golden tests vs independent torch restatements of the reference
+math (train/mytrainer.py:94-198)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from bitdistiller_tpu.train import (
+    cakld_loss,
+    forward_kl_loss,
+    jsd_loss,
+    kd_loss,
+    mse_loss,
+    reverse_kl_loss,
+    tlsd_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    B, S, V = 2, 6, 32
+    student = rng.standard_normal((B, S, V)).astype(np.float32) * 2
+    teacher = rng.standard_normal((B, S, V)).astype(np.float32) * 2
+    labels = rng.integers(0, V, size=(B, S)).astype(np.int64)
+    labels[0, -2:] = -100  # padding
+    labels[1, -1] = -100
+    return labels, student, teacher
+
+
+def torch_cakld(labels, s, t, beta):
+    mask = labels != -100
+    tl = F.log_softmax(t, dim=2)
+    sl = F.log_softmax(s, dim=2)
+    reverse = F.kl_div(tl, sl, reduction="none", log_target=True).sum(-1)
+    forward = F.kl_div(sl, tl, reduction="none", log_target=True).sum(-1)
+    kl = beta * reverse + (1 - beta) * forward
+    kl = kl * mask
+    return kl.sum(-1).mean()
+
+
+def test_cakld_matches_torch(batch):
+    labels, s, t = batch
+    beta = 0.73
+    want = torch_cakld(
+        torch.from_numpy(labels), torch.from_numpy(s), torch.from_numpy(t), beta
+    ).item()
+    got = float(cakld_loss(jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t), beta))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_forward_reverse_match_torch(batch):
+    labels, s, t = batch
+    lt, st, tt = torch.from_numpy(labels), torch.from_numpy(s), torch.from_numpy(t)
+    mask = lt != -100
+
+    sl = F.log_softmax(st, dim=2)
+    tl = F.log_softmax(tt, dim=2)
+    want_fwd = (F.kl_div(sl, tl, reduction="none", log_target=True).sum(-1) * mask).sum(-1).mean().item()
+    want_rev = (F.kl_div(tl, sl, reduction="none", log_target=True).sum(-1) * mask).sum(-1).mean().item()
+
+    got_fwd = float(forward_kl_loss(jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t)))
+    got_rev = float(reverse_kl_loss(jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t)))
+    np.testing.assert_allclose(got_fwd, want_fwd, rtol=1e-5)
+    np.testing.assert_allclose(got_rev, want_rev, rtol=1e-5)
+
+
+def test_jsd_matches_torch(batch):
+    labels, s, t = batch
+    lt, st, tt = torch.from_numpy(labels), torch.from_numpy(s), torch.from_numpy(t)
+    beta = 0.5
+    mask = lt != -100
+    sp = F.softmax(st, dim=2)
+    tp = F.softmax(tt, dim=2)
+    cp = beta * tp + (1 - beta) * sp
+    log_c = cp.log()
+    kl_f = beta * F.kl_div(log_c, tp, reduction="none")
+    kl_r = (1 - beta) * F.kl_div(log_c, sp, reduction="none")
+    want = (((kl_f + kl_r).sum(-1)) * mask).sum(-1).mean().item()
+    got = float(jsd_loss(jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t), beta))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_tlsd_matches_torch(batch):
+    labels, s, t = batch
+    # tlsd uses shift-CE against labels; keep all labels valid to match the
+    # reference exactly (it never masks inside TLSD)
+    labels = np.where(labels == -100, 3, labels)
+    lt, st, tt = torch.from_numpy(labels), torch.from_numpy(s), torch.from_numpy(t)
+    shift = st[..., :-1, :]
+    tc_shift = tt[..., :-1, :]
+    tc_labels = lt[..., 1:]
+    ce = torch.nn.CrossEntropyLoss(reduction="none")(
+        tc_shift.reshape(-1, tc_shift.size(-1)), tc_labels.reshape(-1)
+    ).reshape(tc_shift.shape[0], -1)
+    token_scale = F.softmax(ce / 10, dim=-1)
+    sl = F.log_softmax(shift, dim=-1)
+    tp = F.softmax(tc_shift, dim=-1)
+    want = ((-tp * sl).sum(-1) * token_scale).sum().item()
+    got = float(tlsd_loss(jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_mse_and_dispatch(batch):
+    labels, s, t = batch
+    got = float(mse_loss(jnp.asarray(s), jnp.asarray(t)))
+    want = float(np.mean((s - t) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    for name in ["cakld", "jsd", "forward", "reverse", "tlsd", "mse"]:
+        v = kd_loss(name, jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t), beta=0.5)
+        assert np.isfinite(float(v))
+    with pytest.raises(ValueError):
+        kd_loss("nope", jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t))
