@@ -1,0 +1,131 @@
+"""Headline benchmark: int2-g128 packed 7B decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+vs_baseline = measured tokens/s divided by the HBM-bandwidth roofline for the
+same step (all packed weights + scales + lm_head + KV cache read once per
+step) at the chip's published ~819 GB/s (v5e) — i.e. fraction of
+speed-of-light. The reference publishes no machine-readable decode numbers
+(BASELINE.md), so roofline fraction is the honest yardstick.
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bitdistiller_tpu.models import KVCache, ModelConfig, llama
+from bitdistiller_tpu.models.quantized import random_packed_params
+
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def model_bytes_per_step(cfg: ModelConfig, bits: int, batch: int, cache_len: int) -> float:
+    d, dh = cfg.hidden_size, cfg.actual_head_dim
+    per_layer_weights = (
+        d * cfg.num_heads * dh
+        + 2 * d * cfg.num_kv_heads * dh
+        + cfg.num_heads * dh * d
+        + 3 * d * cfg.intermediate_size
+    )
+    n_weights = per_layer_weights * cfg.num_layers
+    qw_bytes = n_weights * bits / 8
+    scale_bytes = n_weights / 128 * 8  # f32 scales + szeros
+    lm_head = d * cfg.vocab_size * 2
+    kv = cfg.num_layers * batch * cache_len * cfg.num_kv_heads * dh * 2 * 2
+    return qw_bytes + scale_bytes + lm_head + kv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cache-len", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--bits", type=int, default=2)
+    args = ap.parse_args()
+
+    cfg = ModelConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=args.layers,
+        num_heads=32,
+        num_kv_heads=32,
+        max_position_embeddings=4096,
+    )
+    print(f"building int{args.bits}-g128 packed model ({args.layers} layers)...", file=sys.stderr)
+    params = random_packed_params(cfg, jax.random.key(0), bits=args.bits, group_size=128)
+    cache = KVCache.init(cfg, batch=args.batch, max_len=args.cache_len, dtype=jnp.bfloat16)
+
+    # donate the cache so XLA updates it in place instead of copying ~GBs/step
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, cache, tokens):
+        logits, cache = llama.forward(params, cfg, tokens, cache=cache, cache_pos=0)
+        return logits[:, -1].argmax(-1).astype(jnp.int32), cache
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def decode_step(params, cache, tokens, pos):
+        logits, cache = llama.forward(
+            params, cfg, tokens[:, None], cache=cache, cache_pos=pos
+        )
+        return logits[:, -1].argmax(-1).astype(jnp.int32), cache
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, 64)), jnp.int32)
+    print("prefill + compile...", file=sys.stderr)
+    t0 = time.time()
+    tok, cache = prefill(params, cache, prompt)
+    tok.block_until_ready()
+    print(f"prefill done in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    pos = jnp.asarray(64, jnp.int32)  # traced, or every step recompiles
+    t0 = time.time()
+    tok, cache = decode_step(params, cache, tok, pos)
+    tok.block_until_ready()
+    print(f"decode compile in {time.time()-t0:.1f}s", file=sys.stderr)
+    pos = pos + 1
+
+    # warm
+    for _ in range(3):
+        tok, cache = decode_step(params, cache, tok, pos)
+        pos = pos + 1
+    tok.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        tok, cache = decode_step(params, cache, tok, pos)
+        pos = pos + 1
+    tok.block_until_ready()
+    dt = (time.time() - t0) / args.steps
+    tokens_per_s = args.batch / dt
+
+    roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(
+        cfg, args.bits, args.batch, args.cache_len
+    )
+    vs = tokens_per_s / (roofline_steps * args.batch)
+    print(
+        f"decode: {dt*1e3:.2f} ms/step, {tokens_per_s:.1f} tok/s (batch {args.batch}), "
+        f"roofline {roofline_steps*args.batch:.1f} tok/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, 1 chip",
+                "value": round(tokens_per_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from .config import ModelConfig
 from .layers import (
     Quantizer,
     apply_rope,
+    cached_attention,
     causal_attention,
     linear,
     rms_norm,
@@ -112,9 +113,18 @@ def _block(
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
 
     x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
-    q = linear(lp["q"], x, quantizer).reshape(b, s, hq, dh)
-    k = linear(lp["k"], x, quantizer).reshape(b, s, hkv, dh)
-    v = linear(lp["v"], x, quantizer).reshape(b, s, hkv, dh)
+    if "qkv" in lp:
+        # fused qkv projection — one kernel launch (parity with the
+        # reference's make_quant_attn fusion, inference/modules/fused_attn.py:304-370)
+        qkv = linear(lp["qkv"], x, quantizer)
+        q_sz, kv_sz = hq * dh, hkv * dh
+        q = qkv[..., :q_sz].reshape(b, s, hq, dh)
+        k = qkv[..., q_sz : q_sz + kv_sz].reshape(b, s, hkv, dh)
+        v = qkv[..., q_sz + kv_sz :].reshape(b, s, hkv, dh)
+    else:
+        q = linear(lp["q"], x, quantizer).reshape(b, s, hq, dh)
+        k = linear(lp["k"], x, quantizer).reshape(b, s, hkv, dh)
+        v = linear(lp["v"], x, quantizer).reshape(b, s, hkv, dh)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
@@ -122,11 +132,15 @@ def _block(
     k = apply_rope(k, cos, sin)
 
     if cache_kv is not None:
+        # Read-only cache + appended fresh k/v: the scan never rewrites the
+        # [T_max] cache buffer (a full-cache write per layer per step would
+        # dominate decode bandwidth); the new tokens are written back once
+        # after the scan by `forward`.
         ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
-        attn = causal_attention(q, ck, cv, mask, causal_offset=causal_offset)
-        new_cache = (ck, cv)
+        attn = cached_attention(
+            q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), mask
+        )
+        new_cache = (k.astype(ck.dtype), v.astype(cv.dtype))
     else:
         attn = causal_attention(q, k, v, mask, causal_offset=causal_offset)
         new_cache = None
@@ -134,7 +148,13 @@ def _block(
     h = h + linear(lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype), quantizer)
     x = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
     act = _activation(cfg.hidden_act)
-    mlp = linear(lp["down"], act(linear(lp["gate"], x, quantizer)) * linear(lp["up"], x, quantizer), quantizer)
+    if "gate_up" in lp:
+        gu = linear(lp["gate_up"], x, quantizer)
+        gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+        mid = act(gate) * up
+    else:
+        mid = act(linear(lp["gate"], x, quantizer)) * linear(lp["up"], x, quantizer)
+    mlp = linear(lp["down"], mid, quantizer)
     return h + mlp, new_cache
 
 
@@ -163,13 +183,19 @@ def forward(
 
     # Build the attention mask once, outside the scan.
     if cache is not None:
+        # attention runs over [cache (read-only, T_max) ++ fresh tokens (S)]:
+        # cache slots are valid strictly below cache_pos; fresh token j sits
+        # at absolute position cache_pos + j and is causally visible.
         t = cache.k.shape[2]
         k_pos = jnp.arange(t)[None, :]  # [1, T]
-        allow = k_pos <= positions[:, None]  # [S, T]
-        mask = jnp.broadcast_to(allow[None], (b, s, t))
+        allow_cache = jnp.broadcast_to(k_pos < cache_pos, (s, t))
+        allow_new = jnp.arange(s)[None, :] <= jnp.arange(s)[:, None]  # [S, S]
+        allow = jnp.concatenate([allow_cache, allow_new], axis=-1)  # [S, T+S]
+        mask = jnp.broadcast_to(allow[None], (b, s, t + s))
         if kv_valid is not None:
-            mask = mask & kv_valid[:, None, :]
-        mask = mask[:, None]  # [B, 1, S, T]
+            pad = jnp.ones((b, s), bool)
+            mask = mask & jnp.concatenate([kv_valid, pad], axis=-1)[:, None, :]
+        mask = mask[:, None]  # [B, 1, S, T+S]
     elif attn_mask is not None:
         allow = jnp.tril(jnp.ones((s, s), bool))
         mask = allow[None, None] & attn_mask[:, None, None, :].astype(bool)
@@ -198,7 +224,11 @@ def forward(
         new_cache = None
     else:
         h, (nk, nv) = jax.lax.scan(body, h, (lp_stack, cache.k, cache.v))
-        new_cache = KVCache(k=nk, v=nv)
+        # single small write-back of the fresh tokens ([L, B, S, Hkv, Dh])
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, cache_pos, 0, 0)),
+            v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, cache_pos, 0, 0)),
+        )
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:

@@ -3,10 +3,11 @@
 TPU-native replacement for the reference's CUDA/Triton dequant GEMM/GEMV
 (inference/kernels/csrc/quantization/gemm_cuda_gen.cu:31-298,
 gemv_cuda.cu:60-346, quantization/triton_kernels.py:22-100). Not a
-translation: the packed layout is sublane-major per K-group (see
-quant/packing.py) so in-kernel unpacking is a static concat of shift+mask
-extractions with no cross-lane shuffles, and the group scale/zero correction
-is applied to the *accumulator*, not per weight element:
+translation: the packed layout is the half-word *pair layout* (see
+quant/packing.py) so in-kernel unpacking is a static concat of
+shift+mask+bitcast extractions that build bf16 values directly (exponent-bias
+trick, no int->float convert), and the group scale/zero correction is applied
+to the *accumulator*, not per weight element:
 
     out[m, n] = sum_g  s[g, n] * (x[m, kg] @ q[kg, n]) - sz[g, n] * sum_k x[m, kg]
 
@@ -44,10 +45,12 @@ def _group_sizes(p: PackedLinear) -> tuple[int, int, int]:
 
 def quant_matmul_xla(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
     """x: [..., K] -> [..., N]; dense dequant then matmul (XLA fuses)."""
-    codes = unpack_codes(p.qweight, p.bits, p.group_size).astype(x.dtype)  # [K, N]
     k, n = p.in_features, p.out_features
     g = p.group_size
-    xf = x.reshape(-1, k)
+    # f32 compute: CPU XLA has no bf16xbf16->f32 dot thunk; on TPU the Pallas
+    # kernel is the production path so this stays the portable reference.
+    codes = unpack_codes(p.qweight, p.bits, p.group_size).astype(jnp.float32)
+    xf = x.reshape(-1, k).astype(jnp.float32)
     m = xf.shape[0]
     # grouped einsum keeps the scale/zero correction on the accumulator
     xg = xf.reshape(m, k // g, g)
@@ -69,26 +72,44 @@ def quant_matmul_xla(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _dequant_block(qw_block, bits: int, out_dtype):
-    """Unpack an int32 [G // pack, bn] block into [G, bn] codes (k-ordered).
+# bf16 exponent-bias trick: for code q in [0, 2^bits), the bf16 bit pattern
+# of (2^bits + q) is EXP | (q << MANT_SHIFT), so a shift+mask+or per PAIR of
+# codes (both 16-bit halves of each int32 lane at once) followed by a
+# bitcast-to-bf16 dequantizes with ~2 integer ops per code and NO int->float
+# convert. The +2^bits offset is folded into the zero-point correction.
+# The offset must keep offset+q inside ONE binade: [2^bits, 2^{bits+1}).
+_BF16_TRICK = {
+    # bits: (pair_mask, mant_shift, exp_bits, offset)
+    2: (0x00030003, 5, 0x40804080, 4.0),  # bf16(4+q) = 0x4080 | q<<5, q in [0,4)
+    4: (0x000F000F, 3, 0x41804180, 16.0),  # bf16(16+q) = 0x4180 | q<<3, q in [0,16)
+}
 
-    The sublane-major layout guarantees extraction i yields rows
-    [i * G//pack, (i+1) * G//pack), so a static concat restores k order.
-    """
-    pack = 32 // bits
-    mask = (1 << bits) - 1
-    w = qw_block.astype(jnp.uint32)
-    parts = [
-        ((w >> jnp.uint32(bits * i)) & jnp.uint32(mask)).astype(jnp.int32)
-        for i in range(pack)
-    ]
-    return jnp.concatenate(parts, axis=0).astype(out_dtype)
+
+def _dequant_block_bf16(qw_block, bits: int):
+    """Unpack an int32 [R, bn] one-group block into bf16 [G, bn] values equal
+    to (codes + 2^bits), k-ordered under the pair layout (quant/packing.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pair_mask, mant_shift, exp_bits, _ = _BF16_TRICK[bits]
+    half = (32 // bits) // 2
+    w = qw_block
+    parts = []
+    for i in range(half):
+        t = jax.lax.shift_right_logical(w, bits * i) & pair_mask
+        y = jax.lax.shift_left(t, mant_shift) | exp_bits
+        parts.append(pltpu.bitcast(y, jnp.bfloat16))  # [2R, bn]
+    return jnp.concatenate(parts, axis=0)  # [G, bn]
 
 
 def _qmm_kernel(
     x_ref, qw_ref, s_ref, sz_ref, out_ref, acc_ref, *, bits: int, groups_per_step: int, group_size: int
 ):
-    """Grid: (M/bm, N/bn, K/bk) with bk = groups_per_step * G."""
+    """Grid: (M/bm, N/bn, K/bk) with bk = groups_per_step * G.
+
+    Scales/szeros refs carry the FULL group axis (blocked over N only) and are
+    sliced per k-step — this frees groups_per_step from the Mosaic sublane
+    divisibility constraint (e.g. K=11008 -> 86 groups, not a multiple of 8).
+    """
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -98,17 +119,22 @@ def _qmm_kernel(
 
     pack = 32 // bits
     rows_per_group = group_size // pack
+    offset = _BF16_TRICK[bits][3]
     x = x_ref[...]  # [bm, bk] compute dtype
     acc = acc_ref[...]
+    g0 = k_step * groups_per_step
     for j in range(groups_per_step):
         qw = qw_ref[j * rows_per_group : (j + 1) * rows_per_group, :]
-        codes = _dequant_block(qw, bits, x.dtype)  # [G, bn]
+        codes = _dequant_block_bf16(qw, bits)  # [G, bn] bf16 == q + 2^bits
         xg = x[:, j * group_size : (j + 1) * group_size]  # [bm, G]
-        partial = jnp.dot(xg, codes, preferred_element_type=jnp.float32)
-        s = s_ref[j, :][None, :]  # [1, bn]
-        sz = sz_ref[j, :][None, :]
+        partial = jnp.dot(
+            xg.astype(jnp.bfloat16), codes, preferred_element_type=jnp.float32
+        )
+        s = s_ref[g0 + j, :][None, :]  # [1, bn]
+        sz = sz_ref[g0 + j, :][None, :]
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # [bm, 1]
-        acc = acc + partial * s - xsum * sz
+        # fold the +2^bits unpack offset into the zero correction
+        acc = acc + partial * s - xsum * (sz + offset * s)
     acc_ref[...] = acc
 
     @pl.when(k_step == nk - 1)
@@ -118,7 +144,7 @@ def _qmm_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "block_m", "block_n", "groups_per_step"),
+    static_argnames=("bits", "group_size", "block_m", "block_n", "groups_per_step", "interpret"),
 )
 def _quant_matmul_pallas_2d(
     x,
@@ -131,12 +157,14 @@ def _quant_matmul_pallas_2d(
     block_m: int,
     block_n: int,
     groups_per_step: int,
+    interpret: bool = False,
 ):
     m, k = x.shape
     n = qweight.shape[1]
     pack = 32 // bits
     g = group_size
     bk = groups_per_step * g
+    n_groups = k // g
     assert k % bk == 0, (k, bk)
     grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), k // bk)
 
@@ -151,8 +179,9 @@ def _quant_matmul_pallas_2d(
             pl.BlockSpec(
                 (groups_per_step * (g // pack), block_n), lambda i, j, kk: (kk, j)
             ),
-            pl.BlockSpec((groups_per_step, block_n), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((groups_per_step, block_n), lambda i, j, kk: (kk, j)),
+            # full group axis, blocked over N only (sliced per k-step in-kernel)
+            pl.BlockSpec((n_groups, block_n), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((n_groups, block_n), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
@@ -165,6 +194,7 @@ def _quant_matmul_pallas_2d(
             bytes_accessed=m * k * 2 + k * n * bits // 8 + m * n * 2,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x, qweight, scales, szeros)
 
 
@@ -188,10 +218,6 @@ def quant_matmul_pallas(
     gps = groups_per_step
     while n_groups % gps != 0:
         gps //= 2
-    # Mosaic needs the scales-block sublane dim to be a multiple of 8 or the
-    # whole array; fall back to a single K step otherwise.
-    if gps % 8 != 0 and gps != n_groups:
-        gps = n_groups
     out = _quant_matmul_pallas_2d(
         xf,
         p.qweight,
@@ -202,6 +228,7 @@ def quant_matmul_pallas(
         block_m=block_m,
         block_n=block_n,
         groups_per_step=gps,
+        interpret=interpret,
     )
     if p.bias is not None:
         out = out + p.bias.astype(out.dtype)

@@ -10,11 +10,15 @@ ordering). Here the layout is redesigned for TPU tiling instead of translated:
 
 * N (output features) is the minor/lane dimension -> a [*, 128] tile maps
   directly onto VPU lanes and MXU columns; unpacking is a per-lane shift+mask.
-* K is packed *sublane-major within each group*: with R = G // pack packed
-  rows per group, word (g, r) bit-field i holds the code for k = g*G + i*R + r.
-  In-kernel unpacking is then a static concat of the `pack` shift+mask
-  extractions — extraction i yields rows [i*R, (i+1)*R) of the group in
-  order — with no cross-lane shuffles or sublane interleaves.
+* K is packed in a *half-word pair layout* within each group, chosen so the
+  Pallas kernel can unpack straight to bf16 with two integer ops per pair of
+  codes: with R = G // pack packed rows per group, code k_local of a group
+  maps to word r = (k_local % 2R) // 2, half-word b = k_local & 1, bit-field
+  f = (k_local // 2R) + b * pack/2 (i.e. fields 0..pack/2-1 live in the low
+  16 bits, pack/2..pack-1 in the high 16 bits). Extraction i of a word block
+  ((w >> bits*i) & 0x000m000m, biased into a bf16 exponent, then
+  pltpu.bitcast -> sublane pairs) yields k rows [i*2R, (i+1)*2R) *in order*,
+  so a static concat restores the whole group — no cross-lane shuffles.
 * Dequant: w[k, n] = q[k, n] * scales[k//G, n] - szeros[k//G, n].
 
 The weight convention is W : [K, N] (x @ W), i.e. transposed from HF's [out, in].
@@ -69,13 +73,19 @@ def _layout_dims(k: int, bits: int, group_size: int) -> tuple[int, int, int]:
 def pack_codes(q_kn: jnp.ndarray, bits: int, group_size: int = 128) -> jnp.ndarray:
     """Pack integer codes [K, N] (values in [0, 2^bits)) into int32 [K//pack, N].
 
-    Sublane-major order: word (g, r) field i <- code k = g*G + i*R + r.
+    Pair layout: code k_local = i*2R + 2r + b  <->  word (g, r), field
+    i + b*pack/2 (b = low/high half-word).
     """
     k, n = q_kn.shape
     pack, g, r = _layout_dims(k, bits, group_size)
-    q = q_kn.astype(jnp.uint32).reshape(k // g, pack, r, n)
-    shifts = (jnp.arange(pack, dtype=jnp.uint32) * bits)[None, :, None, None]
-    words = jnp.sum(q << shifts, axis=1, dtype=jnp.uint32)  # fields are disjoint
+    half = pack // 2
+    # [K//G, i=half, R, b=2, N]
+    q = q_kn.astype(jnp.uint32).reshape(k // g, half, r, 2, n)
+    field = (
+        jnp.arange(half, dtype=jnp.uint32)[None, :, None, None, None]
+        + jnp.asarray([0, half], jnp.uint32)[None, None, None, :, None]
+    )
+    words = jnp.sum(q << (field * bits), axis=(1, 3), dtype=jnp.uint32)
     return words.reshape(k // pack, n).astype(jnp.int32)
 
 
@@ -85,10 +95,14 @@ def unpack_codes(qweight: jnp.ndarray, bits: int, group_size: int = 128) -> jnp.
     pack = 32 // bits
     k = kp * pack
     _, g, r = _layout_dims(k, bits, group_size)
+    half = pack // 2
     mask = jnp.uint32((1 << bits) - 1)
-    w = qweight.astype(jnp.uint32).reshape(k // g, 1, r, n)
-    shifts = (jnp.arange(pack, dtype=jnp.uint32) * bits)[None, :, None, None]
-    codes = (w >> shifts) & mask  # [K//G, pack, R, N]
+    w = qweight.astype(jnp.uint32).reshape(k // g, 1, r, 1, n)
+    field = (
+        jnp.arange(half, dtype=jnp.uint32)[None, :, None, None, None]
+        + jnp.asarray([0, half], jnp.uint32)[None, None, None, :, None]
+    )
+    codes = (w >> (field * bits)) & mask  # [K//G, half, R, 2, N]
     return codes.reshape(k, n).astype(jnp.int32)
 
 
