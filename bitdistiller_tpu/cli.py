@@ -1,0 +1,359 @@
+"""One CLI for the whole pipeline (the reference scatters argparse mains
+across autoclip.py, train.py, wiki_ppl.py, generate.py, dump_quant.py,
+demo.py — here: `python -m bitdistiller_tpu.cli <subcommand>`).
+
+Subcommands:
+  autoclip  — stage 1: clip-range search, saves a .npz clip cache
+  generate  — stage 2: teacher self-generation to JSONL
+  train     — stage 3: CAKLD KD-QAT
+  ppl       — WikiText-2 perplexity eval
+  pack      — quantize + pack a checkpoint for serving
+  chat      — interactive packed-model chat (demo.py parity)
+  bench     — decode throughput microbenchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_model(path: str, dtype_str: str = "bfloat16"):
+    import jax.numpy as jnp
+
+    from .models.hf_import import load_hf_checkpoint
+
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    return load_hf_checkpoint(path, dtype=dtype)
+
+
+def _load_tokenizer(path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path, use_fast=True)
+
+
+def cmd_autoclip(args):
+    import numpy as np
+
+    from .quant.autoclip import run_autoclip, save_clip_cache
+
+    params, cfg = _load_model(args.model_path)
+    tok = _load_tokenizer(args.model_path)
+    from .data.calib import get_calib_dataset
+
+    blocks = get_calib_dataset(
+        args.calib_dataset, tok, n_samples=args.n_samples, block_size=args.seqlen,
+        data_path=args.calib_path,
+    )
+    result = run_autoclip(
+        params,
+        cfg,
+        np.concatenate(blocks, axis=0),
+        quant_type=args.quant_type,
+        n_bit=args.w_bit,
+        group_size=args.q_group_size,
+        progress=lambda s: print(f"  autoclip {s}", file=sys.stderr),
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(args.dump_clip)), exist_ok=True)
+    save_clip_cache(args.dump_clip, result["clip"])
+    print(f"clip cache saved to {args.dump_clip}")
+
+
+def cmd_train(args):
+    from .train.pipeline import run_training
+
+    run_training(args)
+
+
+def cmd_ppl(args):
+    import numpy as np
+
+    from .eval.ppl import perplexity, prepare_blocks
+    from .quant.core import make_fake_quantizer
+
+    params, cfg = _load_model(args.model_path)
+    if args.tokens_file:
+        tokens = np.load(args.tokens_file)
+    else:
+        from .eval.ppl import load_wikitext2_test
+
+        tok = _load_tokenizer(args.model_path)
+        tokens = load_wikitext2_test(tok)
+    blocks = prepare_blocks(tokens, args.seqlen)
+    quantizer = None
+    if args.quant_type:
+        name = args.quant_type
+        if name == "int":
+            name = f"int{args.w_bit}-asym"
+        q = make_fake_quantizer(name, args.q_group_size)
+        quantizer = lambda w: q(w.T).T  # group along K of [K, N] weights
+    ppl = perplexity(
+        params, cfg, blocks, quantizer=quantizer, batch_size=args.batch_size,
+        progress=lambda d, n: print(f"  {d}/{n}", end="\r", file=sys.stderr),
+    )
+    print(f"\nppl: {ppl:.4f}")
+
+
+def cmd_pack(args):
+    from .models.quantized import pack_model, save_packed_checkpoint
+
+    params, cfg = _load_model(args.model_path)
+    packed = pack_model(params, cfg, bits=args.w_bit, group_size=args.q_group_size)
+    save_packed_checkpoint(args.output, packed, cfg, bits=args.w_bit, group_size=args.q_group_size)
+    print(f"packed checkpoint saved to {args.output}")
+
+
+def cmd_chat(args):
+    import jax.numpy as jnp
+
+    from .models.quantized import load_packed_checkpoint
+    from .serve import Engine, Request, SamplingParams
+    from .utils.prompts import render_prompt
+
+    params, cfg = load_packed_checkpoint(args.load_quant)
+    tok = _load_tokenizer(args.model_path)
+    eng = Engine(
+        params,
+        cfg,
+        max_slots=args.max_batch_size,
+        max_len=args.max_seq_len,
+        sampling=SamplingParams(
+            temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
+            repetition_penalty=args.repetition_penalty,
+        ),
+        eos_token_id=tok.eos_token_id,
+    )
+    print("chat ready (ctrl-d to exit)")
+    while True:
+        try:
+            user = input("USER: ")
+        except EOFError:
+            break
+        prompt = render_prompt(args.template, user)
+        ids = tok.encode(prompt)
+        pieces = []
+
+        def stream(t, pieces=pieces):
+            pieces.append(t)
+            print(tok.decode([t]), end="", flush=True)
+
+        print("ASSISTANT: ", end="", flush=True)
+        t0 = time.time()
+        req = Request(prompt_tokens=ids, max_new_tokens=args.max_new_tokens, stream=stream)
+        eng.run([req])
+        dt = time.time() - t0
+        n = max(len(req.output_tokens), 1)
+        print(f"\n[{n} tokens, {dt/n*1e3:.1f} ms/token]")
+
+
+def cmd_generate(args):
+    from .generation.teacher import run_teacher_generation
+
+    run_teacher_generation(args)
+
+
+def _engine_for_eval(args):
+    from .serve import Engine, SamplingParams
+
+    tok = _load_tokenizer(args.model_path)
+    if getattr(args, "load_quant", None):
+        from .models.quantized import load_packed_checkpoint
+
+        params, cfg = load_packed_checkpoint(args.load_quant)
+    else:
+        params, cfg = _load_model(args.model_path)
+    eng = Engine(
+        params, cfg, max_slots=args.max_batch, max_len=2048,
+        sampling=SamplingParams(temperature=args.temperature),
+        eos_token_id=tok.eos_token_id,
+    )
+    return eng, tok
+
+
+def cmd_eval(args):
+    from .eval.tasks import LogLikelihoodFn, run_tasks
+    from .quant.core import make_fake_quantizer
+
+    params, cfg = _load_model(args.model_path)
+    tok = _load_tokenizer(args.model_path)
+    quantizer = None
+    if args.quant_type:
+        name = args.quant_type if args.quant_type != "int" else f"int{args.w_bit}-asym"
+        q = make_fake_quantizer(name, args.q_group_size)
+        quantizer = lambda w: q(w.T).T
+    fn = LogLikelihoodFn(params, cfg, tok, quantizer=quantizer, batch_size=args.batch_size)
+    results = run_tasks(fn, args.tasks.split(","), limit=args.limit)
+    print(json.dumps(results, indent=2, default=float))
+
+
+def cmd_gsm8k(args):
+    from .eval.gsm8k import load_jsonl, run_gsm8k
+
+    eng, tok = _engine_for_eval(args)
+    res = run_gsm8k(eng, tok, load_jsonl(args.data_path),
+                    max_new_tokens=args.max_new_tokens, limit=args.limit)
+    print(json.dumps({"accuracy": res["accuracy"], "n": res["n"]}))
+
+
+def cmd_humaneval(args):
+    from .eval.humaneval import load_problems, run_humaneval
+
+    eng, tok = _engine_for_eval(args)
+    res = run_humaneval(eng, tok, load_problems(args.data_path),
+                        max_new_tokens=args.max_new_tokens, limit=args.limit)
+    print(json.dumps({"pass@1": res["pass@1"]}))
+
+
+def cmd_mix_data(args):
+    from .generation.datasets import mix_data
+
+    n = mix_data(args.path_a, args.path_b, args.out)
+    print(f"wrote {n} lines to {args.out}")
+
+
+def cmd_bench(args):
+    os.execvp(sys.executable, [sys.executable, "bench.py"] + (args.extra or []))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="bitdistiller_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ac = sub.add_parser("autoclip", help="asymmetric clip search (stage 1)")
+    ac.add_argument("--model_path", required=True)
+    ac.add_argument("--w_bit", type=int, default=2)
+    ac.add_argument("--q_group_size", type=int, default=128)
+    ac.add_argument("--quant_type", choices=["int", "nf3"], default="int")
+    ac.add_argument("--dump_clip", required=True)
+    ac.add_argument("--calib_dataset", default="pile")
+    ac.add_argument("--calib_path", default=None, help="local JSONL for generic loaders")
+    ac.add_argument("--n_samples", type=int, default=128)
+    ac.add_argument("--seqlen", type=int, default=1024)
+    ac.set_defaults(fn=cmd_autoclip)
+
+    tr = sub.add_parser("train", help="KD-QAT training (stage 3)")
+    tr.add_argument("--model_name_or_path", required=True)
+    tr.add_argument("--data_path", required=True)
+    tr.add_argument("--output_dir", required=True)
+    tr.add_argument("--bits", type=int, default=2)
+    tr.add_argument("--q_group_size", type=int, default=128)
+    tr.add_argument("--quant_type", default="int2-asym")
+    tr.add_argument("--clip", default=None)
+    tr.add_argument("--train_kd", action="store_true", default=True)
+    tr.add_argument("--kd_loss_type", default="cakld")
+    tr.add_argument("--cakld_steps", type=int, default=10)
+    tr.add_argument("--learning_rate", type=float, default=8e-6)
+    tr.add_argument("--num_train_epochs", type=int, default=1)
+    tr.add_argument("--per_device_train_batch_size", type=int, default=2)
+    tr.add_argument("--gradient_accumulation_steps", type=int, default=8)
+    tr.add_argument("--model_max_length", type=int, default=2048)
+    tr.add_argument("--max_train_samples", type=int, default=None)
+    tr.add_argument("--lr_scheduler_type", default="constant")
+    tr.add_argument("--warmup_ratio", type=float, default=0.0)
+    tr.add_argument("--save_steps", type=int, default=400)
+    tr.add_argument("--eval_steps", type=int, default=200)
+    tr.add_argument("--logging_steps", type=int, default=1)
+    tr.add_argument("--seed", type=int, default=42)
+    tr.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    tr.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    tr.add_argument("--resume", action="store_true")
+    tr.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser("ppl", help="WikiText-2 perplexity")
+    pp.add_argument("--model_path", "--model", dest="model_path", required=True)
+    pp.add_argument("--quant_type", choices=["int", "nf3", None], default=None)
+    pp.add_argument("--w_bit", "--bits", dest="w_bit", type=int, default=2)
+    pp.add_argument("--q_group_size", "--group_size", dest="q_group_size", type=int, default=128)
+    pp.add_argument("--seqlen", type=int, default=2048)
+    pp.add_argument("--batch_size", type=int, default=1)
+    pp.add_argument("--tokens_file", default=None, help="pre-tokenized .npy corpus")
+    pp.set_defaults(fn=cmd_ppl)
+
+    pk = sub.add_parser("pack", help="quantize+pack for serving")
+    pk.add_argument("--model_path", required=True)
+    pk.add_argument("--w_bit", type=int, default=2)
+    pk.add_argument("--q_group_size", type=int, default=128)
+    pk.add_argument("--output", required=True)
+    pk.set_defaults(fn=cmd_pack)
+
+    ch = sub.add_parser("chat", help="interactive chat on a packed model")
+    ch.add_argument("--model_path", required=True, help="tokenizer source")
+    ch.add_argument("--load_quant", required=True, help="packed checkpoint dir")
+    ch.add_argument("--template", default="llama2")
+    ch.add_argument("--max_seq_len", type=int, default=2048)
+    ch.add_argument("--max_batch_size", type=int, default=1)
+    ch.add_argument("--max_new_tokens", type=int, default=512)
+    ch.add_argument("--temperature", type=float, default=0.7)
+    ch.add_argument("--top_p", type=float, default=0.95)
+    ch.add_argument("--top_k", type=int, default=0)
+    ch.add_argument("--repetition_penalty", type=float, default=1.0)
+    ch.set_defaults(fn=cmd_chat)
+
+    gen = sub.add_parser("generate", help="teacher data self-generation (stage 2)")
+    gen.add_argument("--base_model", required=True)
+    gen.add_argument("--dataset_name", default="alpaca")
+    gen.add_argument("--data_path", default=None, help="local JSON for prompts")
+    gen.add_argument("--out_path", required=True)
+    gen.add_argument("--max_sample", type=int, default=5000)
+    gen.add_argument("--max_new_tokens", type=int, default=1024)
+    gen.add_argument("--temperature", type=float, default=0.7)
+    gen.add_argument("--top_p", type=float, default=1.0)
+    gen.add_argument("--max_batch", type=int, default=8)
+    gen.add_argument("--max_seq_len", type=int, default=2048)
+    gen.add_argument("--seed", type=int, default=42)
+    gen.set_defaults(fn=cmd_generate)
+
+    ev = sub.add_parser("eval", help="task accuracy eval (mmlu/arc/hellaswag/...)")
+    ev.add_argument("--model_path", required=True)
+    ev.add_argument("--tasks", default="arc_challenge,winogrande,hellaswag,piqa",
+                    help="comma list; 'mmlu' expands to all hendrycksTest subjects")
+    ev.add_argument("--quant_type", choices=["int", "nf3", None], default=None)
+    ev.add_argument("--w_bit", "--bits", dest="w_bit", type=int, default=2)
+    ev.add_argument("--q_group_size", type=int, default=128)
+    ev.add_argument("--batch_size", type=int, default=8)
+    ev.add_argument("--limit", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval)
+
+    gs = sub.add_parser("gsm8k", help="GSM8K generative eval")
+    gs.add_argument("--model_path", required=True)
+    gs.add_argument("--data_path", required=True, help="test_use.jsonl (query/response)")
+    gs.add_argument("--load_quant", default=None, help="packed checkpoint (else dense)")
+    gs.add_argument("--temperature", type=float, default=0.2)
+    gs.add_argument("--max_new_tokens", type=int, default=512)
+    gs.add_argument("--max_batch", type=int, default=8)
+    gs.add_argument("--limit", type=int, default=None)
+    gs.set_defaults(fn=cmd_gsm8k)
+
+    he = sub.add_parser("humaneval", help="HumanEval generative eval")
+    he.add_argument("--model_path", required=True)
+    he.add_argument("--data_path", required=True, help="HumanEval.jsonl")
+    he.add_argument("--load_quant", default=None)
+    he.add_argument("--temperature", type=float, default=0.2)
+    he.add_argument("--max_new_tokens", type=int, default=512)
+    he.add_argument("--max_batch", type=int, default=8)
+    he.add_argument("--limit", type=int, default=None)
+    he.set_defaults(fn=cmd_humaneval)
+
+    mx = sub.add_parser("mix_data", help="merge+shuffle two teacher JSONL files")
+    mx.add_argument("path_a")
+    mx.add_argument("path_b")
+    mx.add_argument("--out", required=True)
+    mx.set_defaults(fn=cmd_mix_data)
+
+    be = sub.add_parser("bench", help="decode throughput benchmark")
+    be.add_argument("extra", nargs="*")
+    be.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

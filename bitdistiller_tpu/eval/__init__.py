@@ -1,3 +1,35 @@
+from .gsm8k import extract_answer, grade, grade_ensemble, run_gsm8k
+from .humaneval import (
+    evaluate_functional_correctness,
+    postprocess_completion,
+    run_humaneval,
+)
 from .ppl import load_wikitext2_test, make_nll_fn, perplexity, prepare_blocks
+from .tasks import (
+    MMLU_SUBJECTS,
+    TASK_REGISTRY,
+    LogLikelihoodFn,
+    MCDoc,
+    evaluate_task,
+    run_tasks,
+)
 
-__all__ = ["load_wikitext2_test", "make_nll_fn", "perplexity", "prepare_blocks"]
+__all__ = [
+    "extract_answer",
+    "grade",
+    "grade_ensemble",
+    "run_gsm8k",
+    "evaluate_functional_correctness",
+    "postprocess_completion",
+    "run_humaneval",
+    "load_wikitext2_test",
+    "make_nll_fn",
+    "perplexity",
+    "prepare_blocks",
+    "MMLU_SUBJECTS",
+    "TASK_REGISTRY",
+    "LogLikelihoodFn",
+    "MCDoc",
+    "evaluate_task",
+    "run_tasks",
+]

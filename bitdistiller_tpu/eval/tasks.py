@@ -1,0 +1,306 @@
+"""Multiple-choice / loglikelihood task harness.
+
+Replaces the reference's vendored ~16k-LoC lm-eval fork (test/general/lm_eval,
+evaluator.py:17-120) with a compact runner covering the tasks the reference
+actually evaluates (llm_eval.py:66-106, readme.md:183-189): MMLU
+(hendrycksTest-*, 5-shot), ARC-easy/challenge, HellaSwag, PIQA, Winogrande,
+BoolQ — scored by loglikelihood (acc) and char-length-normalized
+loglikelihood (acc_norm), identical to lm-eval's metrics.
+
+The model adaptor is `LogLikelihoodFn`: batched sum-of-logprobs of a
+continuation given a context, padded to length buckets so jit recompiles stay
+bounded (parity with utils_eval.py:7-114 LMEvalAdaptor's _model_call role).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.config import ModelConfig
+
+
+# ---------------------------------------------------------------------------
+# Model adaptor
+# ---------------------------------------------------------------------------
+
+
+class LogLikelihoodFn:
+    """Batched log P(continuation | context) over a jitted forward."""
+
+    def __init__(self, params, cfg: ModelConfig, tokenizer, *, quantizer=None,
+                 max_len: int = 2048, batch_size: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.max_len = max_len
+        self.batch_size = batch_size
+
+        def ll(params, tokens, cont_mask):
+            logits, _ = llama.forward(params, cfg, tokens, quantizer=quantizer)
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            tgt = tokens[:, 1:]
+            tok_ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            greedy = logits[:, :-1].argmax(-1) == tgt
+            m = cont_mask[:, 1:]
+            return (tok_ll * m).sum(-1), jnp.all(greedy | ~m.astype(bool), axis=-1)
+
+        self._ll = jax.jit(ll)
+
+    def _encode_pair(self, context: str, continuation: str):
+        ctx = self.tok.encode(context)
+        whole = self.tok.encode(context + continuation)
+        if whole[: len(ctx)] != ctx:  # retokenization boundary: fall back
+            cont = self.tok.encode(continuation)
+            whole = ctx + cont
+        n_ctx = len(ctx)
+        whole = whole[-self.max_len :]
+        n_ctx = max(n_ctx - max(len(whole) + n_ctx - self.max_len, 0), 1)
+        return whole, n_ctx
+
+    def __call__(self, pairs: Sequence[tuple[str, str]]) -> list[tuple[float, bool]]:
+        results: list = [None] * len(pairs)
+        encoded = [self._encode_pair(c, x) for c, x in pairs]
+        order = sorted(range(len(pairs)), key=lambda i: len(encoded[i][0]))
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            maxlen = max(len(encoded[i][0]) for i in idxs)
+            bucket = 64
+            while bucket < maxlen:
+                bucket *= 2
+            bucket = min(bucket, self.max_len)
+            toks = np.zeros((len(idxs), bucket), np.int32)
+            mask = np.zeros((len(idxs), bucket), np.float32)
+            for row, i in enumerate(idxs):
+                seq, n_ctx = encoded[i]
+                toks[row, : len(seq)] = seq
+                mask[row, n_ctx : len(seq)] = 1.0
+            lls, greedy = self._ll(self.params, jnp.asarray(toks), jnp.asarray(mask))
+            lls, greedy = np.asarray(lls), np.asarray(greedy)
+            for row, i in enumerate(idxs):
+                results[i] = (float(lls[row]), bool(greedy[row]))
+        return results
+
+
+# ---------------------------------------------------------------------------
+# Task definitions
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MCDoc:
+    context: str
+    choices: list
+    gold: int
+
+
+TaskLoader = Callable[..., list]
+
+
+def _hellaswag_docs(split="validation"):
+    from datasets import load_dataset
+
+    def preprocess(text):
+        text = text.strip().replace(" [title]", ". ")
+        import re
+
+        text = re.sub(r"\[.*?\]", "", text).replace("  ", " ")
+        return text
+
+    ds = load_dataset("hellaswag", split=split)
+    docs = []
+    for d in ds:
+        ctx = d["ctx_a"] + " " + d["ctx_b"].capitalize()
+        query = preprocess(d["activity_label"] + ": " + ctx)
+        docs.append(
+            MCDoc(query, [" " + preprocess(e) for e in d["endings"]], int(d["label"]))
+        )
+    return docs
+
+
+def _piqa_docs(split="validation"):
+    from datasets import load_dataset
+
+    ds = load_dataset("piqa", split=split)
+    return [
+        MCDoc(
+            f"Question: {d['goal']}\nAnswer:",
+            [" " + d["sol1"], " " + d["sol2"]],
+            int(d["label"]),
+        )
+        for d in ds
+    ]
+
+
+def _arc_docs(subset, split="test"):
+    from datasets import load_dataset
+
+    ds = load_dataset("ai2_arc", subset, split=split)
+    docs = []
+    for d in ds:
+        labels = d["choices"]["label"]
+        if d["answerKey"] not in labels:
+            continue
+        docs.append(
+            MCDoc(
+                f"Question: {d['question']}\nAnswer:",
+                [" " + t for t in d["choices"]["text"]],
+                labels.index(d["answerKey"]),
+            )
+        )
+    return docs
+
+
+def _winogrande_docs(split="validation"):
+    from datasets import load_dataset
+
+    ds = load_dataset("winogrande", "winogrande_xl", split=split)
+    docs = []
+    for d in ds:
+        idx = d["sentence"].index("_")
+        # winogrande scores partial-context: choice fills the blank
+        ctx_opts = [
+            d["sentence"][:idx] + d[f"option{i}"] for i in (1, 2)
+        ]
+        cont = d["sentence"][idx + 1 :]
+        # encode as per-choice contexts with shared continuation
+        docs.append(MCDoc(ctx_opts, [cont, cont], int(d["answer"]) - 1))
+    return docs
+
+
+def _boolq_docs(split="validation"):
+    from datasets import load_dataset
+
+    ds = load_dataset("super_glue", "boolq", split=split)
+    return [
+        MCDoc(
+            f"{d['passage']}\nQuestion: {d['question']}?\nAnswer:",
+            [" no", " yes"],
+            int(d["label"]),
+        )
+        for d in ds
+    ]
+
+
+MMLU_SUBJECTS = [
+    "abstract_algebra", "anatomy", "astronomy", "business_ethics",
+    "clinical_knowledge", "college_biology", "college_chemistry",
+    "college_computer_science", "college_mathematics", "college_medicine",
+    "college_physics", "computer_security", "conceptual_physics",
+    "econometrics", "electrical_engineering", "elementary_mathematics",
+    "formal_logic", "global_facts", "high_school_biology",
+    "high_school_chemistry", "high_school_computer_science",
+    "high_school_european_history", "high_school_geography",
+    "high_school_government_and_politics", "high_school_macroeconomics",
+    "high_school_mathematics", "high_school_microeconomics",
+    "high_school_physics", "high_school_psychology", "high_school_statistics",
+    "high_school_us_history", "high_school_world_history", "human_aging",
+    "human_sexuality", "international_law", "jurisprudence",
+    "logical_fallacies", "machine_learning", "management", "marketing",
+    "medical_genetics", "miscellaneous", "moral_disputes",
+    "moral_scenarios", "nutrition", "philosophy", "prehistory",
+    "professional_accounting", "professional_law", "professional_medicine",
+    "professional_psychology", "public_relations", "security_studies",
+    "sociology", "us_foreign_policy", "virology", "world_religions",
+]
+
+
+def _mmlu_docs(subject: str, n_shot: int = 5):
+    """hendrycksTest-style 5-shot prompts (dev split as exemplars)."""
+    from datasets import load_dataset
+
+    letters = ["A", "B", "C", "D"]
+
+    def fmt(d, with_answer):
+        s = d["question"].strip()
+        for letter, c in zip(letters, d["choices"]):
+            s += f"\n{letter}. {c}"
+        s += "\nAnswer:"
+        if with_answer:
+            s += f" {letters[d['answer']]}\n\n"
+        return s
+
+    dev = load_dataset("cais/mmlu", subject, split="dev")
+    test = load_dataset("cais/mmlu", subject, split="test")
+    header = (
+        f"The following are multiple choice questions (with answers) about "
+        f"{subject.replace('_', ' ')}.\n\n"
+    )
+    fewshot = header + "".join(fmt(d, True) for d in list(dev)[:n_shot])
+    return [
+        MCDoc(fewshot + fmt(d, False), [f" {l}" for l in letters], int(d["answer"]))
+        for d in test
+    ]
+
+
+TASK_REGISTRY: dict[str, Callable[[], list]] = {
+    "hellaswag": _hellaswag_docs,
+    "piqa": _piqa_docs,
+    "arc_easy": lambda: _arc_docs("ARC-Easy"),
+    "arc_challenge": lambda: _arc_docs("ARC-Challenge"),
+    "winogrande": _winogrande_docs,
+    "boolq": _boolq_docs,
+}
+for _subj in MMLU_SUBJECTS:
+    TASK_REGISTRY[f"hendrycksTest-{_subj}"] = (
+        lambda s=_subj: _mmlu_docs(s)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation driver
+# ---------------------------------------------------------------------------
+
+
+def evaluate_task(
+    ll_fn: LogLikelihoodFn | Callable,
+    docs: Iterable[MCDoc],
+    limit: Optional[int] = None,
+) -> dict:
+    docs = list(docs)
+    if limit:
+        docs = docs[:limit]
+    pairs = []
+    spans = []
+    for doc in docs:
+        start = len(pairs)
+        contexts = doc.context if isinstance(doc.context, list) else [doc.context] * len(doc.choices)
+        for ctx, choice in zip(contexts, doc.choices):
+            pairs.append((ctx, choice))
+        spans.append((start, len(pairs)))
+    results = ll_fn(pairs)
+    acc = acc_norm = 0
+    for doc, (s, e) in zip(docs, spans):
+        lls = [results[i][0] for i in range(s, e)]
+        lens = [max(len(c), 1) for c in doc.choices]
+        acc += int(int(np.argmax(lls)) == doc.gold)
+        acc_norm += int(int(np.argmax([l / n for l, n in zip(lls, lens)])) == doc.gold)
+    n = len(docs)
+    return {"acc": acc / n, "acc_norm": acc_norm / n, "n": n}
+
+
+def run_tasks(ll_fn, task_names: Sequence[str], limit=None) -> dict:
+    """Evaluate several tasks; aggregate MMLU and QA averages like
+    llm_eval.py:84-106."""
+    results = {}
+    for name in task_names:
+        if name == "mmlu":
+            subs = [f"hendrycksTest-{s}" for s in MMLU_SUBJECTS]
+            for s in subs:
+                results[s] = evaluate_task(ll_fn, TASK_REGISTRY[s](), limit)
+        else:
+            results[name] = evaluate_task(ll_fn, TASK_REGISTRY[name](), limit)
+    summary = dict(results)
+    mmlu = [v["acc"] for k, v in results.items() if k.startswith("hendrycksTest-")]
+    if mmlu:
+        summary["mmlu-acc"] = float(np.mean(mmlu))
+    qa = [v["acc"] for k, v in results.items() if not k.startswith("hendrycksTest-")]
+    if qa:
+        summary["qa-avg"] = float(np.mean(qa))
+    return summary

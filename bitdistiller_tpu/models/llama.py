@@ -108,6 +108,7 @@ def _block(
     cache_pos,
     quantizer: Quantizer,
     causal_offset: int = 0,
+    keep_kv: bool = False,
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
@@ -143,7 +144,7 @@ def _block(
         new_cache = (k.astype(ck.dtype), v.astype(cv.dtype))
     else:
         attn = causal_attention(q, k, v, mask, causal_offset=causal_offset)
-        new_cache = None
+        new_cache = (k, v) if keep_kv else None
 
     h = h + linear(lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype), quantizer)
     x = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
@@ -165,21 +166,31 @@ def forward(
     *,
     quantizer: Quantizer = None,
     cache: Optional[KVCache] = None,
-    cache_pos: int | jnp.ndarray = 0,
+    cache_pos: int | jnp.ndarray = 0,  # scalar, or [B] for per-slot positions
     kv_valid: Optional[jnp.ndarray] = None,  # [B, T] bool — engine-provided
     attn_mask: Optional[jnp.ndarray] = None,  # [B, S] padding mask (training)
     remat: bool = False,
+    return_kv: bool = False,  # cache-less mode: also return per-layer k/v
     logits_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
-    """Run the decoder. Returns (logits [B, S, V], updated cache or None)."""
+    """Run the decoder. Returns (logits [B, S, V], updated cache / prompt KV).
+
+    cache_pos may be a vector of per-sequence positions (continuous batching:
+    every slot decodes at its own length).
+    """
     b, s = tokens.shape
     compute_dtype = jnp.dtype(cfg.dtype)
     h = params["embed"][tokens].astype(compute_dtype)
     if cfg.embedding_multiplier != 1.0:
         h = h * jnp.asarray(cfg.embedding_multiplier, compute_dtype)
 
-    positions = jnp.arange(s) + cache_pos  # [S]
-    cos, sin = rope_cos_sin(positions[None, :], cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
+    pos_vec = jnp.asarray(cache_pos)
+    per_slot = pos_vec.ndim == 1
+    if per_slot:
+        positions = pos_vec[:, None] + jnp.arange(s)[None, :]  # [B, S]
+    else:
+        positions = (jnp.arange(s) + pos_vec)[None, :]  # [1, S]
+    cos, sin = rope_cos_sin(positions, cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
 
     # Build the attention mask once, outside the scan.
     if cache is not None:
@@ -187,11 +198,13 @@ def forward(
         # cache slots are valid strictly below cache_pos; fresh token j sits
         # at absolute position cache_pos + j and is causally visible.
         t = cache.k.shape[2]
-        k_pos = jnp.arange(t)[None, :]  # [1, T]
-        allow_cache = jnp.broadcast_to(k_pos < cache_pos, (s, t))
-        allow_new = jnp.arange(s)[None, :] <= jnp.arange(s)[:, None]  # [S, S]
-        allow = jnp.concatenate([allow_cache, allow_new], axis=-1)  # [S, T+S]
-        mask = jnp.broadcast_to(allow[None], (b, s, t + s))
+        k_pos = jnp.arange(t)[None, None, :]  # [1, 1, T]
+        start = pos_vec.reshape(-1, 1, 1) if per_slot else pos_vec.reshape(1, 1, 1)
+        allow_cache = jnp.broadcast_to(k_pos < start, (b, s, t))
+        allow_new = jnp.broadcast_to(
+            jnp.arange(s)[None, :] <= jnp.arange(s)[:, None], (b, s, s)
+        )
+        mask = jnp.concatenate([allow_cache, allow_new], axis=-1)  # [B, S, T+S]
         if kv_valid is not None:
             pad = jnp.ones((b, s), bool)
             mask = mask & jnp.concatenate([kv_valid, pad], axis=-1)[:, None, :]
@@ -208,8 +221,11 @@ def forward(
         hidden = carry
         if cache is None:
             lp = layer_in
-            new_h, _ = _block(cfg, lp, hidden, cos, sin, mask, None, 0, quantizer)
-            return new_h, None
+            new_h, kv = _block(
+                cfg, lp, hidden, cos, sin, mask, None, 0, quantizer,
+                keep_kv=return_kv,
+            )
+            return new_h, kv
         lp, ck, cv = layer_in
         new_h, new_kv = _block(
             cfg, lp, hidden, cos, sin, mask, (ck, cv), cache_pos, quantizer
@@ -220,15 +236,25 @@ def forward(
         body = jax.checkpoint(body, prevent_cse=False)
 
     if cache is None:
-        h, _ = jax.lax.scan(body, h, lp_stack)
-        new_cache = None
+        h, kv = jax.lax.scan(body, h, lp_stack)
+        new_cache = KVCache(k=kv[0], v=kv[1]) if return_kv else None
     else:
         h, (nk, nv) = jax.lax.scan(body, h, (lp_stack, cache.k, cache.v))
         # single small write-back of the fresh tokens ([L, B, S, Hkv, Dh])
-        new_cache = KVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, cache_pos, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, cache_pos, 0, 0)),
-        )
+        if per_slot:
+            # per-slot positions: scatter each batch row at its own offset
+            def upd(buf_b, new_b, p):  # [L, T, H, D], [L, S, H, D]
+                return jax.lax.dynamic_update_slice(buf_b, new_b, (0, p, 0, 0))
+
+            vupd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+            new_cache = KVCache(
+                k=vupd(cache.k, nk, pos_vec), v=vupd(cache.v, nv, pos_vec)
+            )
+        else:
+            new_cache = KVCache(
+                k=jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, cache_pos, 0, 0)),
+                v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, cache_pos, 0, 0)),
+            )
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:

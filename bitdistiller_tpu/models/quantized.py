@@ -1,4 +1,5 @@
-"""Packed-model construction: swap dense layer linears for PackedLinear.
+"""Packed-model construction and checkpoint IO: swap dense layer linears for
+PackedLinear, save/load the packed artifact.
 
 The TPU analogue of real_quantize_model_weight + WQLinear packing
 (quantization/quantizer.py:73-108, qmodule.py:70-146): every decoder linear
@@ -130,3 +131,117 @@ def random_packed_params(
             "w": (jax.random.normal(keys[2], (d, cfg.vocab_size), jnp.float32) * 0.02).astype(dtype)
         }
     return params
+
+
+# ---------------------------------------------------------------------------
+# Packed checkpoint artifact (replaces the reference's torch .pt dump,
+# inference/dump_quant.py:52-65 / utils/load_quant.py:85-159)
+# ---------------------------------------------------------------------------
+
+
+def save_packed_checkpoint(path, packed_params, cfg: ModelConfig, *, bits: int,
+                           group_size: int):
+    """Write packed params + config to a directory (npz + json)."""
+    import json
+    import os
+
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    flat = {}
+
+    def to_np(x):
+        # np.savez cannot represent ml_dtypes bfloat16 (round-trips as void);
+        # store floats as f32 and restore the model dtype on load
+        a = np.asarray(x)
+        if a.dtype.kind not in ("i", "u", "b"):
+            a = a.astype(np.float32)
+        return a
+
+    def put(prefix, leaf):
+        if isinstance(leaf, PackedLinear):
+            flat[f"{prefix}/qweight"] = np.asarray(leaf.qweight)
+            flat[f"{prefix}/scales"] = to_np(leaf.scales)
+            flat[f"{prefix}/szeros"] = to_np(leaf.szeros)
+            if leaf.bias is not None:
+                flat[f"{prefix}/bias"] = to_np(leaf.bias)
+            flat[f"{prefix}/__meta"] = np.asarray(
+                [leaf.bits, leaf.group_size, leaf.in_features, leaf.out_features]
+            )
+        elif isinstance(leaf, dict):
+            for k, v in leaf.items():
+                put(f"{prefix}/{k}", v)
+        else:
+            flat[prefix] = to_np(leaf)
+
+    for k, v in packed_params.items():
+        put(k, v)
+    np.savez(os.path.join(path, "packed.npz"), **flat)
+    meta = {
+        "bits": bits,
+        "group_size": group_size,
+        "config": {
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_layers": cfg.num_layers,
+            "num_heads": cfg.num_heads,
+            "num_kv_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim,
+            "rms_norm_eps": cfg.rms_norm_eps,
+            "rope_theta": cfg.rope_theta,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "tie_word_embeddings": cfg.tie_word_embeddings,
+            "attention_bias": cfg.attention_bias,
+            "qk_norm": cfg.qk_norm,
+            "hidden_act": cfg.hidden_act,
+            "dtype": cfg.dtype,
+        },
+    }
+    import io
+
+    with open(os.path.join(path, "quant_config.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_packed_checkpoint(path):
+    """Load a packed checkpoint dir -> (params, cfg)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "quant_config.json")) as f:
+        meta = json.load(f)
+    cfg = ModelConfig(**meta["config"])
+    data = np.load(os.path.join(path, "packed.npz"))
+
+    tree: dict = {}
+    packed_groups: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        if parts[-1] in ("qweight", "scales", "szeros", "bias", "__meta"):
+            packed_groups.setdefault("/".join(parts[:-1]), {})[parts[-1]] = data[key]
+        else:
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            arr = jnp.asarray(data[key])
+            if jnp.issubdtype(arr.dtype, jnp.floating):
+                arr = arr.astype(jnp.dtype(cfg.dtype))
+            node[parts[-1]] = arr
+    for prefix, fields in packed_groups.items():
+        b, g, kf, nf = (int(v) for v in fields["__meta"])
+        leaf = PackedLinear(
+            qweight=jnp.asarray(fields["qweight"]),
+            scales=jnp.asarray(fields["scales"]),
+            szeros=jnp.asarray(fields["szeros"]),
+            bias=jnp.asarray(fields["bias"]) if "bias" in fields else None,
+            bits=b, group_size=g, in_features=kf, out_features=nf,
+        )
+        node = tree
+        parts = prefix.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree, cfg

@@ -1,0 +1,232 @@
+"""Serving engine: prefill/decode with slot-based continuous batching.
+
+Replaces the reference's TinyChat serving stack (inference/demo.py,
+stream_generators/stream_gen.py:35-193, which is strictly batch-1 with a
+Python token loop) with a TPU-native design:
+
+  * static shapes everywhere: a [B_slots, T_max] KV cache, prompts padded to
+    power-of-two buckets (bounded recompiles), per-slot position vector;
+  * prefill runs the cache-less forward on [1, S_bucket] returning the
+    prompt's per-layer KV, which an `insert` executable writes into the slot
+    (JetStream-style), so prefill cost is independent of the batch;
+  * one decode executable advances ALL active slots a token per step —
+    continuous batching is just slot admission on the host;
+  * sampling (temperature/top-k/top-p/repetition penalty) happens on-device
+    inside the decode step (serve/sampling.py).
+
+The same engine serves interactive chat, batch teacher-data generation
+(data/generation parity) and generative evals (GSM8K/HumanEval).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.config import ModelConfig
+from ..models.llama import KVCache
+from .sampling import SamplingParams, sample_tokens
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_tokens: list
+    max_new_tokens: int = 256
+    stream: Optional[Callable[[int], None]] = None  # per-token callback
+    # filled by the engine:
+    output_tokens: list = dataclasses.field(default_factory=list)
+    finished: bool = False
+    finish_reason: str = ""
+    prefill_time: float = 0.0
+    decode_tokens: int = 0
+    decode_time: float = 0.0
+
+
+def _buckets(max_len: int, lo: int = 64):
+    out, b = [], lo
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(max_len)
+    return out
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        *,
+        max_slots: int = 8,
+        max_len: int = 2048,
+        sampling: SamplingParams = SamplingParams(),
+        eos_token_id: int | None = 2,
+        cache_dtype=jnp.bfloat16,
+        rep_window: int = 128,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.sampling = sampling
+        self.eos = eos_token_id
+        self.rep_window = rep_window
+        self.cache = KVCache.init(cfg, max_slots, max_len, cache_dtype)
+        self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
+        self.key = jax.random.key(seed)
+
+        # host-side slot state
+        self.slot_req: list[Optional[Request]] = [None] * max_slots
+        self.lengths = np.zeros(max_slots, np.int32)
+        self.active = np.zeros(max_slots, bool)
+        self.cur_tokens = np.zeros(max_slots, np.int32)
+        self.buckets = _buckets(max_len)
+
+        self._prefill = jax.jit(self._prefill_impl)
+        self._decode = jax.jit(self._decode_impl)
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _prefill_impl(self, params, tokens, last_idx):  # [1, S], scalar
+        logits, kv = llama.forward(params, self.cfg, tokens, cache=None, return_kv=True)
+        last = jax.lax.dynamic_index_in_dim(logits, last_idx, axis=1, keepdims=False)
+        return last, kv  # [1, V], KV [L, 1, S, H, D]
+
+    def _insert_impl(self, cache: KVCache, kv: KVCache, slot):
+        # kv: [L, 1, S, H, D] -> write rows [0, S) of slot (S <= T_max);
+        # rows beyond the true prompt length hold padding junk but stay
+        # masked by the per-slot position (t < cache_pos)
+        def upd(buf, new):
+            return jax.lax.dynamic_update_slice(
+                buf, new.astype(buf.dtype), (0, slot, 0, 0, 0)
+            )
+
+        return KVCache(k=upd(cache.k, kv.k), v=upd(cache.v, kv.v))
+
+    def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key):
+        logits, cache = llama.forward(
+            params, self.cfg, tokens[:, None], cache=cache, cache_pos=pos
+        )
+        next_tok = sample_tokens(key, logits[:, 0], self.sampling, prev_tokens)
+        next_tok = jnp.where(active, next_tok, 0)
+        # roll the repetition window and append
+        prev_tokens = jnp.concatenate(
+            [prev_tokens[:, 1:], next_tok[:, None]], axis=1
+        )
+        return next_tok, cache, prev_tokens
+
+    # -- host scheduling ----------------------------------------------------
+
+    def _free_slot(self) -> Optional[int]:
+        for i in range(self.max_slots):
+            if not self.active[i]:
+                return i
+        return None
+
+    def _admit(self, req: Request, slot: int):
+        plen = min(len(req.prompt_tokens), self.max_len - 1)
+        toks = req.prompt_tokens[-plen:]
+        bucket = next(b for b in self.buckets if b >= plen)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :plen] = toks
+        t0 = time.time()
+        last_logits, kv = self._prefill(
+            self.params, jnp.asarray(padded), jnp.asarray(plen - 1)
+        )
+        self.cache = self._insert(self.cache, kv, jnp.asarray(slot))
+        # first sampled token from prompt logits
+        self.key, sub = jax.random.split(self.key)
+        first = int(
+            sample_tokens(sub, last_logits, self.sampling, self.prev_tokens[slot : slot + 1])[0]
+        )
+        req.prefill_time = time.time() - t0
+        self.slot_req[slot] = req
+        self.lengths[slot] = plen
+        self.active[slot] = True
+        self.cur_tokens[slot] = first
+        self._emit(slot, first)
+
+    def _emit(self, slot: int, token: int):
+        req = self.slot_req[slot]
+        req.output_tokens.append(token)
+        if req.stream:
+            req.stream(token)
+        done = (self.eos is not None and token == self.eos) or (
+            len(req.output_tokens) >= req.max_new_tokens
+        )
+        if self.lengths[slot] + 1 >= self.max_len:
+            done = True
+        if done:
+            req.finished = True
+            req.finish_reason = (
+                "stop" if (self.eos is not None and token == self.eos) else "length"
+            )
+            self.active[slot] = False
+            self.slot_req[slot] = None
+
+    def run(self, requests: Iterable[Request]) -> list[Request]:
+        """Continuous-batching loop until all requests finish."""
+        queue = list(requests)
+        done: list[Request] = []
+        pending = len(queue)
+        while pending:
+            # admit as many as fit
+            while queue:
+                slot = self._free_slot()
+                if slot is None:
+                    break
+                req = queue.pop(0)
+                self._admit(req, slot)
+                if req.finished:
+                    done.append(req)
+                    pending -= 1
+            if not self.active.any():
+                continue
+            # one decode step for everyone
+            t0 = time.time()
+            self.key, sub = jax.random.split(self.key)
+            toks, self.cache, self.prev_tokens = self._decode(
+                self.params,
+                self.cache,
+                jnp.asarray(self.cur_tokens),
+                jnp.asarray(self.lengths),
+                jnp.asarray(self.active),
+                self.prev_tokens,
+                sub,
+            )
+            toks_np = np.asarray(toks)
+            dt = time.time() - t0
+            for i in range(self.max_slots):
+                if not self.active[i]:
+                    continue
+                self.lengths[i] += 1
+                self.cur_tokens[i] = toks_np[i]
+                req = self.slot_req[i]
+                req.decode_tokens += 1
+                req.decode_time += dt
+                self._emit(i, int(toks_np[i]))
+                if req.finished:
+                    done.append(req)
+                    pending -= 1
+        return done
+
+    def generate(
+        self,
+        prompts: list[list],
+        max_new_tokens: int = 256,
+    ) -> list[list]:
+        reqs = [Request(prompt_tokens=p, max_new_tokens=max_new_tokens) for p in prompts]
+        ordered = {id(r): i for i, r in enumerate(reqs)}
+        out = [None] * len(reqs)
+        for r in self.run(reqs):
+            out[ordered[id(r)]] = r.output_tokens
+        return out

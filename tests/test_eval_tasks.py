@@ -1,0 +1,117 @@
+"""Eval-harness tests: loglikelihood adaptor correctness, task scoring,
+GSM8K extraction/grading, HumanEval post-processing + execution."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdistiller_tpu.eval.gsm8k import extract_answer, grade, grade_ensemble
+from bitdistiller_tpu.eval.humaneval import (
+    check_correctness,
+    evaluate_functional_correctness,
+    postprocess_completion,
+)
+from bitdistiller_tpu.eval.tasks import LogLikelihoodFn, MCDoc, evaluate_task
+from bitdistiller_tpu.models import TINY_TEST, forward, init_params
+
+
+class CharTok:
+    def encode(self, s):
+        return [(ord(c) % 250) + 3 for c in s]
+
+    def decode(self, ids, **kw):
+        return "".join(chr((i - 3) % 26 + 97) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def ll_fn():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0))
+    return LogLikelihoodFn(params, cfg, CharTok(), max_len=128, batch_size=4), params, cfg
+
+
+def test_loglikelihood_matches_manual(ll_fn):
+    fn, params, cfg = ll_fn
+    ctx, cont = "hello ", "worl"
+    (ll, greedy), = fn([(ctx, cont)])
+    tok = CharTok()
+    whole = tok.encode(ctx + cont)
+    n_ctx = len(tok.encode(ctx))
+    logits, _ = forward(params, cfg, jnp.asarray([whole], jnp.int32))
+    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+    want = float(
+        sum(logp[i - 1, whole[i]] for i in range(n_ctx, len(whole)))
+    )
+    np.testing.assert_allclose(ll, want, rtol=1e-4)
+
+
+def test_loglikelihood_batching_order(ll_fn):
+    fn, *_ = ll_fn
+    pairs = [("abc", " x"), ("a much longer context here", " y"), ("zz", " q")]
+    one_by_one = [fn([p])[0][0] for p in pairs]
+    batched = [r[0] for r in fn(pairs)]
+    np.testing.assert_allclose(batched, one_by_one, rtol=1e-4)
+
+
+def test_evaluate_task_scoring(ll_fn):
+    fn, *_ = ll_fn
+    docs = [
+        MCDoc("the sky is", [" blue", " a very long wrong option"], 0),
+        MCDoc("water is", [" wet", " dry"], 0),
+    ]
+    res = evaluate_task(fn, docs)
+    assert set(res) == {"acc", "acc_norm", "n"}
+    assert res["n"] == 2
+    assert 0.0 <= res["acc"] <= 1.0
+
+
+def test_evaluate_task_perchoice_contexts(ll_fn):
+    """Winogrande-style: list of contexts, shared continuation."""
+    fn, *_ = ll_fn
+    docs = [MCDoc(["Alice said ", "Bob said "], ["hello", "hello"], 1)]
+    res = evaluate_task(fn, docs)
+    assert res["n"] == 1
+
+
+def test_gsm8k_extract():
+    assert extract_answer("blah blah #### 42") == "42"
+    assert extract_answer("The answer is: 3,120.") == "3120"
+    assert extract_answer("so we get 7 apples. The answer is 7") == "7"
+    assert extract_answer("= $18.50 total #### 18.50") == "18.50"
+    assert extract_answer("no numbers here") is None
+
+
+def test_gsm8k_grade():
+    preds = ["#### 5", "the answer is 3", "#### 9"]
+    refs = ["#### 5", "#### 4", "#### 9.0"]
+    res = grade(preds, refs)
+    assert res["accuracy"] == pytest.approx(2 / 3)
+
+
+def test_gsm8k_ensemble_majority():
+    sets = [["#### 5"], ["#### 7"], ["#### 5"]]
+    refs = ["#### 5"]
+    res = grade_ensemble(sets, refs)
+    assert res["accuracy"] == 1.0
+
+
+def test_humaneval_postprocess():
+    fenced = "Sure!\n```python\ndef f():\n    return 1\n```\nHope it helps"
+    assert postprocess_completion(fenced) == "def f():\n    return 1\n"
+    raw = "def g():\n    return 2\n### Instruction: more"
+    assert postprocess_completion(raw) == "def g():\n    return 2\n"
+
+
+def test_humaneval_execution():
+    problem = {
+        "prompt": "def add(a, b):\n",
+        "test": "def check(candidate):\n    assert candidate(1, 2) == 3\n",
+        "entry_point": "add",
+    }
+    good = "def add(a, b):\n    return a + b\n"
+    bad = "def add(a, b):\n    return a - b\n"
+    assert check_correctness(problem, good)
+    assert not check_correctness(problem, bad)
+    res = evaluate_functional_correctness([problem, problem], [good, bad])
+    assert res["pass@1"] == 0.5

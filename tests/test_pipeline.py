@@ -1,0 +1,156 @@
+"""End-to-end pipeline integration tests on the tiny model (CPU, 8 virtual
+devices): the full BitDistiller flow — teacher gen -> autoclip -> KD-QAT ->
+pack -> serve — chained through the real APIs with a fake tokenizer."""
+
+import json
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdistiller_tpu.models import TINY_TEST, forward, init_params
+from bitdistiller_tpu.models.hf_import import load_hf_checkpoint, save_hf_checkpoint
+from bitdistiller_tpu.models.quantized import (
+    load_packed_checkpoint,
+    pack_model,
+    save_packed_checkpoint,
+)
+
+
+class FakeTok:
+    eos_token = "</s>"
+    eos_token_id = 2
+    pad_token = "</s>"
+    pad_token_id = 0
+
+    def encode(self, s):
+        return [(ord(c) % 250) + 3 for c in s][:96]
+
+    def decode(self, ids, **kw):
+        return "".join(chr((i - 3) % 26 + 97) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_hf_checkpoint_roundtrip(tmp_path, tiny):
+    cfg, params = tiny
+    save_hf_checkpoint(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params),
+        cfg,
+        str(tmp_path / "ckpt"),
+    )
+    params2, cfg2 = load_hf_checkpoint(str(tmp_path / "ckpt"), dtype=jnp.float32)
+    assert cfg2.hidden_size == cfg.hidden_size
+    tokens = jnp.arange(8, dtype=jnp.int32)[None]
+    l1, _ = forward(params, cfg, tokens)
+    l2, _ = forward(params2, cfg2, tokens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_checkpoint_roundtrip(tmp_path, tiny):
+    cfg, params = tiny
+    packed = pack_model(params, cfg, bits=2, group_size=64)
+    save_packed_checkpoint(str(tmp_path / "packed"), packed, cfg, bits=2, group_size=64)
+    loaded, cfg2 = load_packed_checkpoint(str(tmp_path / "packed"))
+    tokens = jnp.arange(8, dtype=jnp.int32)[None]
+    l1, _ = forward(packed, cfg, tokens)
+    l2, _ = forward(loaded, cfg2, tokens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_teacher_generation_local_json(tmp_path, tiny):
+    from bitdistiller_tpu.generation.teacher import run_teacher_generation
+
+    cfg, params = tiny
+    prompts_path = tmp_path / "prompts.jsonl"
+    with open(prompts_path, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"instruction": f"write something {i}"}) + "\n")
+
+    args = types.SimpleNamespace(
+        base_model="unused", dataset_name="json", data_path=str(prompts_path),
+        out_path=str(tmp_path / "teacher.jsonl"), max_sample=6, max_new_tokens=5,
+        temperature=0.0, top_p=1.0, max_batch=2, max_seq_len=128, seed=0,
+    )
+    out = run_teacher_generation(args, tokenizer=FakeTok(), model=(params, cfg))
+    lines = [json.loads(x) for x in open(out)]
+    assert len(lines) == 6
+    assert all(isinstance(l[0][0], str) and isinstance(l[0][1], str) for l in lines)
+
+
+def test_full_training_pipeline(tmp_path, tiny):
+    """teacher jsonl -> run_training (cakld, grad accum, clip) -> saved HF dir."""
+    from bitdistiller_tpu.quant.autoclip import run_autoclip, save_clip_cache
+    from bitdistiller_tpu.train.pipeline import run_training
+
+    cfg, params = tiny
+    # teacher data
+    data_path = tmp_path / "teacher.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(24):
+            f.write(json.dumps([[f"prompt number {i} ", f"reply text {i}"]]) + "\n")
+
+    # stage 1: autoclip
+    calib = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 32)).astype(np.int32)
+    clip = run_autoclip(params, cfg, calib, quant_type="int", n_bit=2, group_size=64,
+                        n_sample_token=32, apply=False)
+    clip_path = str(tmp_path / "clip.npz")
+    save_clip_cache(clip_path, clip["clip"])
+
+    args = types.SimpleNamespace(
+        model_name_or_path="unused",
+        data_path=str(data_path),
+        output_dir=str(tmp_path / "out"),
+        bits=2, q_group_size=64, quant_type="int2-asym",
+        clip=clip_path, train_kd=True, kd_loss_type="cakld", cakld_steps=2,
+        learning_rate=1e-4, num_train_epochs=1,
+        per_device_train_batch_size=2, gradient_accumulation_steps=2,
+        model_max_length=64, max_train_samples=None,
+        lr_scheduler_type="constant", warmup_ratio=0.0,
+        save_steps=0, eval_steps=0, logging_steps=5, seed=0,
+        dp=None, tp=1, resume=False,
+    )
+    summary = run_training(args, tokenizer=FakeTok(), model=(params, cfg))
+    assert summary["steps"] > 0
+    assert summary["final_loss"] is not None and np.isfinite(summary["final_loss"])
+    # final HF-format model exists and loads
+    params2, cfg2 = load_hf_checkpoint(str(tmp_path / "out"), dtype=jnp.float32)
+    assert cfg2.num_layers == cfg.num_layers
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, tiny):
+    from bitdistiller_tpu.train.pipeline import restore_checkpoint, save_checkpoint
+    from bitdistiller_tpu.train.trainer import TrainConfig, init_train_state
+
+    cfg, params = tiny
+    tc = TrainConfig(total_steps=2)
+    state = init_train_state(params, tc)
+    path = save_checkpoint(str(tmp_path / "ck"), 5, state)
+    state2 = init_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), params), tc
+    )
+    state2 = restore_checkpoint(path, state2)
+    np.testing.assert_allclose(
+        np.asarray(state2.params["layers"]["q"]["w"]),
+        np.asarray(state.params["layers"]["q"]["w"]),
+    )
+
+
+def test_cli_parser_smoke():
+    from bitdistiller_tpu.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["ppl", "--model_path", "/x", "--quant_type", "int", "--w_bit", "2"])
+    assert args.cmd == "ppl" and args.w_bit == 2
+    args = p.parse_args(["train", "--model_name_or_path", "/m", "--data_path", "/d",
+                         "--output_dir", "/o"])
+    assert args.kd_loss_type == "cakld"
+    with pytest.raises(SystemExit):
+        p.parse_args(["nope"])

@@ -1,0 +1,126 @@
+"""Sampling + serving-engine tests on the tiny model (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdistiller_tpu.models import TINY_TEST, forward, init_params
+from bitdistiller_tpu.serve import Engine, Request, SamplingParams
+from bitdistiller_tpu.serve.sampling import (
+    _top_k_mask,
+    _top_p_mask,
+    apply_repetition_penalty,
+    sample_tokens,
+)
+
+
+def test_greedy_sampling():
+    logits = jnp.asarray([[1.0, 5.0, 2.0], [0.0, -1.0, 3.0]])
+    toks = sample_tokens(jax.random.key(0), logits, SamplingParams(temperature=0.0))
+    np.testing.assert_array_equal(np.asarray(toks), [1, 2])
+
+
+def test_top_k_masks_all_but_k():
+    logits = jnp.asarray([[1.0, 4.0, 3.0, 2.0]])
+    masked = np.asarray(_top_k_mask(logits, 2))
+    assert np.isfinite(masked[0, [1, 2]]).all()
+    assert np.isinf(masked[0, [0, 3]]).all()
+
+
+def test_top_p_keeps_top_mass():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    masked = np.asarray(_top_p_mask(logits, 0.7))
+    assert np.isfinite(masked[0, 0]) and np.isfinite(masked[0, 1])
+    assert np.isinf(masked[0, 3])
+
+
+def test_top_p_always_keeps_top1():
+    logits = jnp.log(jnp.asarray([[0.99, 0.005, 0.005]]))
+    masked = np.asarray(_top_p_mask(logits, 0.1))
+    assert np.isfinite(masked[0, 0])
+
+
+def test_repetition_penalty():
+    logits = jnp.asarray([[2.0, -2.0, 1.0]])
+    prev = jnp.asarray([[0, 1, -1, -1]])
+    out = np.asarray(apply_repetition_penalty(logits, prev, 2.0))
+    np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0])
+
+
+def test_sampling_distribution_respects_temperature():
+    logits = jnp.asarray([[0.0, 2.0]])
+    keys = jax.random.split(jax.random.key(0), 200)
+    toks = np.asarray(
+        jax.vmap(lambda k: sample_tokens(k, logits, SamplingParams(temperature=1.0))[0])(keys)
+    )
+    frac1 = (toks == 1).mean()
+    assert 0.7 < frac1 < 0.98  # sigmoid(2) ~ 0.88
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0))
+    return cfg, params
+
+
+def test_engine_greedy_matches_manual_loop(tiny_engine):
+    cfg, params = tiny_engine
+    eng = Engine(
+        params, cfg, max_slots=2, max_len=64,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    prompt = [3, 7, 11]
+    out = eng.generate([prompt], max_new_tokens=5)[0]
+    assert len(out) == 5
+
+    # manual reference: full-context greedy forward each step
+    seq = list(prompt)
+    want = []
+    for _ in range(5):
+        logits, _ = forward(params, cfg, jnp.asarray([seq], jnp.int32))
+        nxt = int(logits[0, -1].argmax())
+        want.append(nxt)
+        seq.append(nxt)
+    assert out == want, (out, want)
+
+
+def test_engine_continuous_batching_more_requests_than_slots(tiny_engine):
+    cfg, params = tiny_engine
+    eng = Engine(
+        params, cfg, max_slots=2, max_len=64,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    prompts = [[i + 1, i + 2] for i in range(5)]
+    outs = eng.generate(prompts, max_new_tokens=4)
+    assert len(outs) == 5
+    assert all(len(o) == 4 for o in outs)
+    # determinism: same prompt twice -> same output
+    outs2 = eng.generate(prompts, max_new_tokens=4)
+    assert outs == outs2
+
+
+def test_engine_eos_stops(tiny_engine):
+    cfg, params = tiny_engine
+    # find the greedy first token, then use it as eos
+    prompt = [5, 6]
+    eng0 = Engine(params, cfg, max_slots=1, max_len=32,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    first = eng0.generate([prompt], max_new_tokens=1)[0][0]
+    eng = Engine(params, cfg, max_slots=1, max_len=32,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=first)
+    req = Request(prompt_tokens=prompt, max_new_tokens=10)
+    done = eng.run([req])
+    assert done[0].finish_reason == "stop"
+    assert done[0].output_tokens == [first]
+
+
+def test_engine_streaming_callback(tiny_engine):
+    cfg, params = tiny_engine
+    eng = Engine(params, cfg, max_slots=1, max_len=32,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    got = []
+    req = Request(prompt_tokens=[1, 2, 3], max_new_tokens=3, stream=got.append)
+    eng.run([req])
+    assert got == req.output_tokens and len(got) == 3
