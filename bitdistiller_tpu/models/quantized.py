@@ -18,16 +18,44 @@ from .config import ModelConfig
 from .llama import LAYER_LINEARS
 
 
-def _pack_stacked(w, bits, group_size, bias=None):
-    """Quantize+pack a stacked [L, K, N] dense weight into a PackedLinear."""
+def _pack_stacked(w, bits, group_size, bias=None, native: bool | None = None):
+    """Quantize+pack a stacked [L, K, N] dense weight into a PackedLinear.
+
+    Uses the multithreaded C++ packer (native/) on host when available —
+    the conversion hot path for 7B-class checkpoints; falls back to the
+    vmapped JAX implementation (bit-identical, tests/test_native.py).
+    """
+    import numpy as np
+
     L, k, n = w.shape
-    packed = jax.jit(jax.vmap(lambda wi: quantize_pack_linear(wi, bits, group_size)))(
-        w.astype(jnp.float32)
-    )
+    if native is None:
+        from ..native import native_available
+
+        native = native_available()
+    if native:
+        from ..native import quantize_pack_native
+
+        host = np.asarray(w, dtype=np.float32)
+        qws, ss, szs = [], [], []
+        for i in range(L):
+            qw, s, sz = quantize_pack_native(host[i], bits, group_size)
+            qws.append(qw)
+            ss.append(s)
+            szs.append(sz)
+        packed_arrays = (
+            jnp.asarray(np.stack(qws)),
+            jnp.asarray(np.stack(ss)),
+            jnp.asarray(np.stack(szs)),
+        )
+    else:
+        packed = jax.jit(
+            jax.vmap(lambda wi: quantize_pack_linear(wi, bits, group_size))
+        )(w.astype(jnp.float32))
+        packed_arrays = (packed.qweight, packed.scales, packed.szeros)
     return PackedLinear(
-        qweight=packed.qweight,
-        scales=packed.scales,
-        szeros=packed.szeros,
+        qweight=packed_arrays[0],
+        scales=packed_arrays[1],
+        szeros=packed_arrays[2],
         bias=bias,
         bits=bits,
         group_size=group_size if group_size > 0 else k,

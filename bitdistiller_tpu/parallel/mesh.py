@@ -77,7 +77,10 @@ def param_specs(cfg: ModelConfig, fsdp_axis: str | None = None) -> dict:
 
 
 def packed_param_specs(cfg: ModelConfig) -> dict:
-    """Partition specs when layer linears are PackedLinear leaves.
+    """Partition specs when layer linears are PackedLinear leaves (unfused
+    q/k/v/gate/up/down layout — TP sharding of the fused qkv/gate_up concat
+    axis would split gate from up across shards; use pack_model(fuse=False)
+    for multi-chip serving).
 
     qweight [L, K//pack, N] / scales / szeros [L, K//G, N] shard like the
     dense weight: column-parallel shards N (lanes), row-parallel shards the
@@ -86,19 +89,58 @@ def packed_param_specs(cfg: ModelConfig) -> dict:
     """
     specs = param_specs(cfg)
     for name in _COL:
-        specs["layers"][name] = PackedLinearSpec(P(None, None, "tp"))
+        specs["layers"][name] = P(None, None, "tp")
     for name in _ROW:
-        specs["layers"][name] = PackedLinearSpec(P(None, "tp", None))
+        specs["layers"][name] = P(None, "tp", None)
     return specs
 
 
-def PackedLinearSpec(spec: P):
+def kv_cache_specs():
+    """KV cache [L, B, T, Hkv, Dh]: batch over dp, kv heads over tp."""
+    from ..models.llama import KVCache
+
+    return KVCache(k=P(None, "dp", None, "tp", None), v=P(None, "dp", None, "tp", None))
+
+
+def shard_packed_model(params, mesh: Mesh, cfg: ModelConfig):
+    """device_put a packed (unfused, pack_model(fuse=False)) param tree with
+    Megatron TP sharding. PackedLinear leaves shard qweight/scales/szeros
+    together along N (column-parallel) or packed-K rows (row-parallel)."""
+    import dataclasses as dc
+
     from ..quant.packing import PackedLinear
 
-    return PackedLinear(
-        qweight=spec, scales=spec, szeros=spec, bias=None,
-        bits=0, group_size=0, in_features=0, out_features=0,
-    )
+    specs = packed_param_specs(cfg)
+
+    def put_leaf(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = {k: v for k, v in params.items()}
+    out["embed"] = put_leaf(params["embed"], specs["embed"])
+    out["final_norm"] = put_leaf(params["final_norm"], specs["final_norm"])
+    if "lm_head" in params:
+        out["lm_head"] = {"w": put_leaf(params["lm_head"]["w"], specs["lm_head"]["w"])}
+    layers = {}
+    for name, leaf in params["layers"].items():
+        spec = specs["layers"].get(name)
+        if isinstance(leaf, PackedLinear):
+            layers[name] = dc.replace(
+                leaf,
+                qweight=put_leaf(leaf.qweight, spec),
+                scales=put_leaf(leaf.scales, spec),
+                szeros=put_leaf(leaf.szeros, spec),
+                bias=put_leaf(leaf.bias, P(None, spec[2]) if spec[2] else P(None, None))
+                if leaf.bias is not None
+                else None,
+            )
+        elif isinstance(leaf, dict):
+            layers[name] = {k: put_leaf(v, spec[k] if isinstance(spec, dict) else spec) for k, v in leaf.items()}
+        else:
+            layers[name] = put_leaf(leaf, spec if spec is not None else P(None, None))
+    out["layers"] = layers
+    return out
 
 
 def shard_params(params, mesh: Mesh, specs) -> dict:

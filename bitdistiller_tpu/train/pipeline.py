@@ -144,7 +144,13 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                                        jit_fn=jax.jit(make_cakld_beta_fn(cfg)))
             logger.info("CAKLD beta = %.4f", float(beta))
 
-        step_fn = jax.jit(make_train_step(cfg, tc, teacher_params=teacher))
+        raw_step = make_train_step(cfg, tc, teacher_params=teacher)
+        from ..utils.debug import DEBUG, checked
+
+        # BITDISTILLER_DEBUG=1: checkify NaN/Inf detection inside the jitted
+        # step (train/train.py:300-376 hook-machinery parity). checked()
+        # jits internally; check_error must stay outside the staged fn.
+        step_fn = checked(raw_step) if DEBUG else jax.jit(raw_step)
 
         micro_step = 0
         logs = []
