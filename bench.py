@@ -64,13 +64,17 @@ def main():
     params = random_packed_params(cfg, jax.random.key(0), bits=args.bits, group_size=128)
     cache = KVCache.init(cfg, batch=args.batch, max_len=args.cache_len, dtype=jnp.bfloat16)
 
-    # donate the cache so XLA updates it in place instead of copying ~GBs/step
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    # NB: no donation — on the axon relay a donated-buffer reuse error is
+    # raised asynchronously and block_until_ready() returns on the errored
+    # buffers, silently timing failed dispatches (observed: impossible
+    # 0.07ms/step). The read-only-cache forward only writes the new token
+    # rows anyway.
+    @jax.jit
     def prefill(params, cache, tokens):
         logits, cache = llama.forward(params, cfg, tokens, cache=cache, cache_pos=0)
         return logits[:, -1].argmax(-1).astype(jnp.int32), cache
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @jax.jit
     def decode_step(params, cache, tokens, pos):
         logits, cache = llama.forward(
             params, cfg, tokens[:, None], cache=cache, cache_pos=pos
@@ -92,11 +96,13 @@ def main():
     print(f"decode compile in {time.time()-t0:.1f}s", file=sys.stderr)
     pos = pos + 1
 
-    # warm
+    # warm + force a real value fetch so any async dispatch error surfaces
+    # BEFORE timing (first device->host transfer also pays the relay warmup
+    # here rather than inside the timed region)
     for _ in range(3):
         tok, cache = decode_step(params, cache, tok, pos)
         pos = pos + 1
-    tok.block_until_ready()
+    print(f"warmup token sample: {np.asarray(tok)[:4]}", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(args.steps):
@@ -104,6 +110,8 @@ def main():
         pos = pos + 1
     tok.block_until_ready()
     dt = (time.time() - t0) / args.steps
+    # correctness fetch: raises if any timed dispatch actually failed
+    _ = np.asarray(tok)
     tokens_per_s = args.batch / dt
 
     roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(

@@ -36,6 +36,16 @@ class ModelConfig:
     hidden_act: str = "silu"  # "silu" | "gelu" | "gelu_tanh"
     # sliding window attention (None = global); per-layer pattern later
     sliding_window: Optional[int] = None
+    # falcon-style: attention and MLP both read the same norm, summed into
+    # the residual in parallel (one norm per layer)
+    parallel_block: bool = False
+    # mpt-style: ALiBi position bias instead of rotary embeddings
+    alibi: bool = False
+    use_rope: bool = True
+    # mlp style: "gated" (llama gate*up) | "plain" (falcon/mpt up->act->down)
+    mlp_style: str = "gated"
+    # "rms" (llama) | "layernorm" (falcon/mpt, mean-subtracting with bias)
+    norm_type: str = "rms"
     dtype: str = "bfloat16"
 
     @property
@@ -112,4 +122,37 @@ LLAMA2_7B = ModelConfig(
     num_heads=32,
     num_kv_heads=32,
     max_position_embeddings=4096,
+)
+
+
+FALCON_7B = ModelConfig(
+    vocab_size=65024,
+    hidden_size=4544,
+    intermediate_size=4 * 4544,
+    num_layers=32,
+    num_heads=71,
+    num_kv_heads=1,  # falcon-7b multi-query attention
+    rms_norm_eps=1e-5,  # falcon uses LayerNorm; rms approximation noted
+    max_position_embeddings=2048,
+    parallel_block=True,
+    hidden_act="gelu",
+    mlp_style="plain",
+    norm_type="layernorm",
+    tie_word_embeddings=True,
+)
+
+MPT_7B = ModelConfig(
+    vocab_size=50432,
+    hidden_size=4096,
+    intermediate_size=4 * 4096,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=32,
+    max_position_embeddings=2048,
+    alibi=True,
+    use_rope=False,
+    hidden_act="gelu",
+    mlp_style="plain",
+    norm_type="layernorm",
+    tie_word_embeddings=True,
 )

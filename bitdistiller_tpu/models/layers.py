@@ -49,6 +49,54 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * weight.astype(jnp.float32)).astype(dtype)
 
 
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None,
+               eps: float) -> jnp.ndarray:
+    """Standard LayerNorm (mean-subtracting) — Falcon/MPT norm."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    out = xf * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def apply_norm(leaf, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Norm dispatch: array leaf -> RMSNorm; {'w','b'} dict -> LayerNorm."""
+    if isinstance(leaf, dict):
+        return layer_norm(x, leaf["w"], leaf.get("b"), eps)
+    return rms_norm(x, leaf, eps)
+
+
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Standard ALiBi head slopes (MPT parity, inference/models/mpt.py:22-45)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        return jnp.asarray(pow2_slopes(n_heads), jnp.float32)
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = pow2_slopes(closest)
+    extra = pow2_slopes(2 * closest)[0::2][: n_heads - closest]
+    return jnp.asarray(base + extra, jnp.float32)
+
+
+def alibi_bias(n_heads: int, q_pos: jnp.ndarray, k_pos: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, T] additive bias: -slope_h * (q_pos - k_pos), clamped >= ...
+
+    q_pos: [B, S] absolute positions, k_pos: [T] absolute positions.
+    """
+    slopes = alibi_slopes(n_heads)  # [H]
+    dist = q_pos[:, :, None].astype(jnp.float32) - k_pos[None, None, :].astype(jnp.float32)
+    dist = jnp.maximum(dist, 0.0)  # future positions are masked anyway
+    return -slopes[None, :, None, None] * dist[:, None, :, :]
+
+
 def rope_cos_sin(
     positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,6 +136,7 @@ def cached_attention(
     k_new: jnp.ndarray,  # [B, S, Hkv, D] fresh tokens
     v_new: jnp.ndarray,
     mask: jnp.ndarray,  # [B, 1, S, T+S] bool
+    bias: jnp.ndarray | None = None,  # [B, Hq, S, T+S] additive (ALiBi)
 ) -> jnp.ndarray:
     """Decode/prefill attention over cache ++ fresh without materializing the
     concatenated KV (a per-layer cache copy would dominate decode bandwidth).
@@ -101,6 +150,8 @@ def cached_attention(
     sc_cache = jnp.einsum("bshrd,bthd->bhrst", qg, ck, preferred_element_type=jnp.float32) * scale
     sc_new = jnp.einsum("bshrd,bthd->bhrst", qg, k_new, preferred_element_type=jnp.float32) * scale
     scores = jnp.concatenate([sc_cache, sc_new], axis=-1)  # [B,Hkv,rep,S,T+S]
+    if bias is not None:
+        scores = scores + bias.reshape(b, hkv, rep, *bias.shape[-2:]).astype(jnp.float32)
     scores = jnp.where(mask[:, :, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     p_cache = probs[..., :t].astype(cv.dtype)
@@ -118,6 +169,7 @@ def causal_attention(
     mask: jnp.ndarray | None,  # [B, 1, S, T] additive or bool, or None = causal
     *,
     causal_offset: int = 0,
+    bias: jnp.ndarray | None = None,  # [B, Hq, S, T] additive (ALiBi)
 ) -> jnp.ndarray:
     """GQA scaled-dot-product attention; f32 softmax accumulation."""
     b, s, hq, d = q.shape
@@ -128,6 +180,8 @@ def causal_attention(
     scores = jnp.einsum(
         "bshrd,bthd->bhrst", qg, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(d).astype(jnp.float32)
+    if bias is not None:
+        scores = scores + bias.reshape(b, hkv, rep, s, t).astype(jnp.float32)
     if mask is None:
         q_pos = jnp.arange(s)[:, None] + causal_offset
         k_pos = jnp.arange(t)[None, :]

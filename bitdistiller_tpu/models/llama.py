@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from .config import ModelConfig
 from .layers import (
     Quantizer,
+    alibi_bias,
+    apply_norm,
     apply_rope,
     cached_attention,
     causal_attention,
@@ -73,17 +75,24 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
             leaf["b"] = jnp.zeros((L, n_dim), dtype)
         return leaf
 
+    def norm_leaf():
+        if cfg.norm_type == "layernorm":
+            return {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
+        return jnp.ones((L, d), dtype)
+
     layers = {
-        "input_norm": jnp.ones((L, d), dtype),
-        "post_attn_norm": jnp.ones((L, d), dtype),
+        "input_norm": norm_leaf(),
         "q": lin(keys[0], d, hq * dh, cfg.attention_bias),
         "k": lin(keys[1], d, hkv * dh, cfg.attention_bias),
         "v": lin(keys[2], d, hkv * dh, cfg.attention_bias),
         "o": lin(keys[3], hq * dh, d),
-        "gate": lin(keys[4], d, ffn, cfg.mlp_bias),
         "up": lin(keys[5], d, ffn, cfg.mlp_bias),
         "down": lin(keys[6], ffn, d, cfg.mlp_bias),
     }
+    if not cfg.parallel_block:
+        layers["post_attn_norm"] = norm_leaf()
+    if cfg.mlp_style == "gated":
+        layers["gate"] = lin(keys[4], d, ffn, cfg.mlp_bias)
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((L, dh), dtype)
         layers["k_norm"] = jnp.ones((L, dh), dtype)
@@ -109,11 +118,12 @@ def _block(
     quantizer: Quantizer,
     causal_offset: int = 0,
     keep_kv: bool = False,
+    attn_bias: jnp.ndarray | None = None,  # ALiBi [B, Hq, S, T(+S)]
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
 
-    x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+    x = apply_norm(lp["input_norm"], h, cfg.rms_norm_eps)
     if "qkv" in lp:
         # fused qkv projection — one kernel launch (parity with the
         # reference's make_quant_attn fusion, inference/modules/fused_attn.py:304-370)
@@ -129,8 +139,9 @@ def _block(
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.use_rope:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     if cache_kv is not None:
         # Read-only cache + appended fresh k/v: the scan never rewrites the
@@ -139,23 +150,34 @@ def _block(
         # after the scan by `forward`.
         ck, cv = cache_kv
         attn = cached_attention(
-            q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), mask
+            q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), mask, bias=attn_bias
         )
         new_cache = (k.astype(ck.dtype), v.astype(cv.dtype))
     else:
-        attn = causal_attention(q, k, v, mask, causal_offset=causal_offset)
+        attn = causal_attention(
+            q, k, v, mask, causal_offset=causal_offset, bias=attn_bias
+        )
         new_cache = (k, v) if keep_kv else None
 
-    h = h + linear(lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype), quantizer)
-    x = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+    attn_out = linear(lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype), quantizer)
     act = _activation(cfg.hidden_act)
-    if "gate_up" in lp:
-        gu = linear(lp["gate_up"], x, quantizer)
+    if cfg.parallel_block:
+        # falcon-style: attention and MLP read the same norm, summed together
+        mlp_in = x
+    else:
+        h = h + attn_out
+        mlp_in = apply_norm(lp["post_attn_norm"], h, cfg.rms_norm_eps)
+    if cfg.mlp_style == "plain":
+        mid = act(linear(lp["up"], mlp_in, quantizer))
+    elif "gate_up" in lp:
+        gu = linear(lp["gate_up"], mlp_in, quantizer)
         gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
         mid = act(gate) * up
     else:
-        mid = act(linear(lp["gate"], x, quantizer)) * linear(lp["up"], x, quantizer)
+        mid = act(linear(lp["gate"], mlp_in, quantizer)) * linear(lp["up"], mlp_in, quantizer)
     mlp = linear(lp["down"], mid, quantizer)
+    if cfg.parallel_block:
+        return h + attn_out + mlp, new_cache
     return h + mlp, new_cache
 
 
@@ -215,6 +237,25 @@ def forward(
     else:
         mask = None  # pure causal, handled inside attention
 
+    # ALiBi position bias (MPT family): computed once, shared by all layers
+    attn_bias = None
+    if cfg.alibi:
+        from .layers import alibi_slopes
+
+        slopes = alibi_slopes(cfg.num_heads)
+        q_pos = jnp.broadcast_to(positions, (b, s))
+        if cache is not None:
+            t = cache.k.shape[2]
+            # cache rows sit at absolute positions 0..T-1; fresh token j at
+            # positions[:, j] — one distance matrix over [T ++ S] keys
+            k_abs = jnp.concatenate(
+                [jnp.broadcast_to(jnp.arange(t)[None], (b, t)), q_pos], axis=-1
+            )  # [B, T+S]
+        else:
+            k_abs = q_pos  # full causal: keys are the queries
+        dist = (q_pos[:, :, None] - k_abs[:, None, :]).astype(jnp.float32)
+        attn_bias = -slopes[None, :, None, None] * jnp.maximum(dist, 0.0)[:, None]
+
     lp_stack = params["layers"]
 
     def body(carry, layer_in):
@@ -223,12 +264,13 @@ def forward(
             lp = layer_in
             new_h, kv = _block(
                 cfg, lp, hidden, cos, sin, mask, None, 0, quantizer,
-                keep_kv=return_kv,
+                keep_kv=return_kv, attn_bias=attn_bias,
             )
             return new_h, kv
         lp, ck, cv = layer_in
         new_h, new_kv = _block(
-            cfg, lp, hidden, cos, sin, mask, (ck, cv), cache_pos, quantizer
+            cfg, lp, hidden, cos, sin, mask, (ck, cv), cache_pos, quantizer,
+            attn_bias=attn_bias,
         )
         return new_h, new_kv
 
@@ -256,7 +298,7 @@ def forward(
                 v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, cache_pos, 0, 0)),
             )
 
-    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    h = apply_norm(params["final_norm"], h, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = h @ params["embed"].T.astype(h.dtype)
     else:
@@ -269,6 +311,8 @@ def fake_quant_weights(params: Params, quantizer) -> Params:
     parity with test/test_utils.py:68-85 pseudo_quantize_model_weight)."""
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
     for name in LAYER_LINEARS:
+        if name not in out["layers"]:
+            continue  # e.g. no 'gate' for plain-MLP families
         leaf = out["layers"][name]
         w = leaf["w"].astype(jnp.float32)
         leaf["w"] = jax.vmap(quantizer)(w).astype(params["layers"][name]["w"].dtype)

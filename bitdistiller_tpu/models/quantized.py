@@ -76,9 +76,11 @@ def pack_model(params, cfg: ModelConfig, bits: int, group_size: int = 128, fuse:
     """
     out = jax.tree_util.tree_map(lambda x: x, params)
     layers = params["layers"]
-    todo = list(LAYER_LINEARS)
+    todo = [n for n in LAYER_LINEARS if n in layers]
     if fuse:
         for parts, fused_name in ((("q", "k", "v"), "qkv"), (("gate", "up"), "gate_up")):
+            if not all(p in layers for p in parts):
+                continue  # plain-MLP families have no 'gate'
             if any(layers[p].get("b") is not None for p in parts):
                 continue  # bias fusion not needed yet (llama family has none)
             w = jnp.concatenate([layers[p]["w"] for p in parts], axis=-1)

@@ -1,0 +1,74 @@
+"""Architecture-flag tests: Falcon-style (parallel block, MQA, LayerNorm,
+plain MLP) and MPT-style (ALiBi, no rope) tiny models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdistiller_tpu.models import KVCache, ModelConfig, forward, init_params
+from bitdistiller_tpu.models.layers import alibi_slopes
+from bitdistiller_tpu.models.quantized import pack_model
+
+TINY_FALCON = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=256, num_layers=2,
+    num_heads=4, num_kv_heads=1, max_position_embeddings=128,
+    parallel_block=True, hidden_act="gelu", mlp_style="plain",
+    norm_type="layernorm", tie_word_embeddings=True,
+)
+TINY_MPT = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=256, num_layers=2,
+    num_heads=4, num_kv_heads=4, max_position_embeddings=128,
+    alibi=True, use_rope=False, hidden_act="gelu", mlp_style="plain",
+    norm_type="layernorm", tie_word_embeddings=True,
+)
+
+
+@pytest.mark.parametrize("cfg", [TINY_FALCON, TINY_MPT], ids=["falcon", "mpt"])
+def test_family_forward_and_cache(cfg):
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    assert "gate" not in params["layers"]
+    if cfg.parallel_block:
+        assert "post_attn_norm" not in params["layers"]
+    tokens = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
+    full, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(full)).all()
+
+    # cached decode must match full-context forward
+    cache = KVCache.init(cfg, 1, 8, dtype=jnp.float32)
+    _, cache = forward(params, cfg, tokens[:, :4], cache=cache, cache_pos=0)
+    step, _ = forward(params, cfg, tokens[:, 4:5], cache=cache, cache_pos=4)
+    np.testing.assert_allclose(
+        np.asarray(step[0, 0]), np.asarray(full[0, 4]), rtol=5e-2, atol=5e-2
+    )
+
+
+@pytest.mark.parametrize("cfg", [TINY_FALCON, TINY_MPT], ids=["falcon", "mpt"])
+def test_family_packs_and_runs(cfg):
+    params = init_params(cfg, jax.random.key(1), dtype=jnp.float32)
+    packed = pack_model(params, cfg, bits=4, group_size=64)
+    assert "qkv" in packed["layers"]
+    assert "gate_up" not in packed["layers"]  # plain MLP: up/down only
+    logits, _ = forward(packed, cfg, jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_alibi_slopes_standard_values():
+    s8 = np.asarray(alibi_slopes(8))
+    np.testing.assert_allclose(s8[0], 2 ** (-1.0), rtol=1e-6)
+    np.testing.assert_allclose(s8[-1], 2 ** (-8.0), rtol=1e-6)
+    s12 = np.asarray(alibi_slopes(12))  # non-power-of-two
+    assert len(s12) == 12 and (s12 > 0).all()
+
+
+def test_alibi_changes_attention():
+    cfg_no = ModelConfig(**{**TINY_MPT.__dict__, "alibi": False})
+    params = init_params(TINY_MPT, jax.random.key(0), dtype=jnp.float32)
+    tokens = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    with_alibi, _ = forward(params, TINY_MPT, tokens)
+    without, _ = forward(params, cfg_no, tokens)
+    # first token attends only to itself -> identical; later tokens differ
+    np.testing.assert_allclose(
+        np.asarray(with_alibi[0, 0]), np.asarray(without[0, 0]), rtol=1e-5
+    )
+    assert not np.allclose(np.asarray(with_alibi[0, -1]), np.asarray(without[0, -1]))
