@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--cache-len", type=int, default=256)
     ap.add_argument("--layers", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--bits", type=int, default=2)
     args = ap.parse_args()
 
@@ -75,11 +75,16 @@ def main():
         return logits[:, -1].argmax(-1).astype(jnp.int32), cache
 
     @jax.jit
-    def decode_step(params, cache, tokens, pos):
+    def decode_step(params, cache, tokens, pos, acc):
         logits, cache = llama.forward(
             params, cfg, tokens[:, None], cache=cache, cache_pos=pos
         )
-        return logits[:, -1].argmax(-1).astype(jnp.int32), cache
+        tok = logits[:, -1].argmax(-1).astype(jnp.int32)
+        # running checksum ties every step's logits into the final fetched
+        # value — a correct fetch proves all timed dispatches really executed
+        # (async dispatch errors otherwise time as impossibly fast)
+        acc = acc * 1.000001 + logits[0, -1, pos % cfg.vocab_size].astype(jnp.float32)
+        return tok, cache, acc
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, 64)), jnp.int32)
@@ -90,28 +95,27 @@ def main():
     print(f"prefill done in {time.time()-t0:.1f}s", file=sys.stderr)
 
     pos = jnp.asarray(64, jnp.int32)  # traced, or every step recompiles
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.time()
-    tok, cache = decode_step(params, cache, tok, pos)
+    tok, cache, acc = decode_step(params, cache, tok, pos, acc)
     tok.block_until_ready()
     print(f"decode compile in {time.time()-t0:.1f}s", file=sys.stderr)
     pos = pos + 1
 
-    # warm + force a real value fetch so any async dispatch error surfaces
-    # BEFORE timing (first device->host transfer also pays the relay warmup
-    # here rather than inside the timed region)
+    # warm + force a real value fetch (also pays the relay's first-transfer
+    # warmup outside the timed region)
     for _ in range(3):
-        tok, cache = decode_step(params, cache, tok, pos)
+        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
         pos = pos + 1
     print(f"warmup token sample: {np.asarray(tok)[:4]}", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(args.steps):
-        tok, cache = decode_step(params, cache, tok, pos)
+        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
         pos = pos + 1
-    tok.block_until_ready()
+    checksum = float(acc)  # forces completion of the whole step chain
     dt = (time.time() - t0) / args.steps
-    # correctness fetch: raises if any timed dispatch actually failed
-    _ = np.asarray(tok)
+    print(f"checksum {checksum:.4f}", file=sys.stderr)
     tokens_per_s = args.batch / dt
 
     roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(
