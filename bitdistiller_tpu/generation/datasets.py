@@ -103,3 +103,25 @@ def mix_data(path_a: str, path_b: str, out_path: str, seed: int = 42) -> int:
     with open(out_path, "w") as f:
         f.writelines(x if x.endswith("\n") else x + "\n" for x in lines)
     return len(lines)
+
+
+def merge_interleaved(paths: list, out_path: str) -> int:
+    """Ratio-preserving interleaved merge of N teacher JSONL sets — each
+    source's items appear spread evenly through the output rather than
+    shuffled (scripts/data/make_merged_dataset.py:5-40 parity)."""
+    sources = []
+    for p in paths:
+        with open(p) as f:
+            sources.append([x for x in f if x.strip()])
+    total = sum(len(s) for s in sources)
+    # schedule each source at evenly-spaced fractional positions
+    tagged = []
+    for si, src in enumerate(sources):
+        n = len(src)
+        for i, line in enumerate(src):
+            tagged.append(((i + 0.5) / n, si, line))
+    tagged.sort(key=lambda t: (t[0], t[1]))
+    with open(out_path, "w") as f:
+        for _, _, line in tagged:
+            f.write(line if line.endswith("\n") else line + "\n")
+    return total

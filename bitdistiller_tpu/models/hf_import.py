@@ -113,15 +113,24 @@ def load_hf_checkpoint(path: str, cfg: ModelConfig | None = None, dtype=jnp.bflo
     return params, cfg
 
 
-def save_hf_checkpoint(params, cfg: ModelConfig, path: str):
+def save_hf_checkpoint(params, cfg: ModelConfig, path: str, dtype=None):
     """Export back to HF-layout safetensors (single shard) + config.json,
-    parity with the reference's consolidated save (train/train.py:139-145)."""
+    parity with the reference's consolidated save (train/train.py:139-145).
+
+    dtype: optional numpy/ml_dtypes dtype to cast float tensors on save —
+    the reference's convert_bf16_to_fp16.py as a flag."""
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
+
+    def cast(a: np.ndarray) -> np.ndarray:
+        if dtype is not None and a.dtype.kind not in ("i", "u", "b"):
+            return a.astype(dtype)
+        return a
+
     out: dict[str, np.ndarray] = {}
-    out["model.embed_tokens.weight"] = np.asarray(params["embed"])
-    out["model.norm.weight"] = np.asarray(params["final_norm"])
+    out["model.embed_tokens.weight"] = cast(np.asarray(params["embed"]))
+    out["model.norm.weight"] = cast(np.asarray(params["final_norm"]))
     L = cfg.num_layers
     for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
         if ours not in params["layers"]:
@@ -132,12 +141,12 @@ def save_hf_checkpoint(params, cfg: ModelConfig, path: str):
             t = np.asarray(arr[i])
             if transpose:
                 t = np.ascontiguousarray(t.T)
-            out[f"model.layers.{i}.{theirs}"] = t
+            out[f"model.layers.{i}.{theirs}"] = cast(t)
         if isinstance(leaf, dict) and "b" in leaf and ours in _HF_BIAS_MAP:
             for i in range(L):
-                out[f"model.layers.{i}.{_HF_BIAS_MAP[ours]}"] = np.asarray(leaf["b"][i])
+                out[f"model.layers.{i}.{_HF_BIAS_MAP[ours]}"] = cast(np.asarray(leaf["b"][i]))
     if "lm_head" in params:
-        out["lm_head.weight"] = np.ascontiguousarray(np.asarray(params["lm_head"]["w"]).T)
+        out["lm_head.weight"] = cast(np.ascontiguousarray(np.asarray(params["lm_head"]["w"]).T))
     # ml_dtypes bf16 arrays save fine via safetensors numpy backend
     save_file(out, os.path.join(path, "model.safetensors"))
     cfg_json = {
