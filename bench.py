@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--bits", type=int, default=2)
+    ap.add_argument("--mode", choices=["decode", "prefill"], default="decode")
+    ap.add_argument("--prefill-len", type=int, default=512)
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -87,6 +89,40 @@ def main():
         return tok, cache, acc
 
     rng = np.random.default_rng(0)
+
+    if args.mode == "prefill":
+        # prefill throughput + TTFT: full causal forward over the prompt
+        s = args.prefill_len
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, s)), jnp.int32)
+
+        @jax.jit
+        def prefill_only(params, tokens, acc):
+            logits, _ = llama.forward(params, cfg, tokens)
+            return acc * 1.000001 + logits[0, -1, 0].astype(jnp.float32)
+
+        acc = jnp.zeros((), jnp.float32)
+        acc = prefill_only(params, toks, acc)
+        float(acc)  # compile + relay warmup
+        n_iter = max(args.steps // 10, 3)
+        t0 = time.time()
+        for _ in range(n_iter):
+            acc = prefill_only(params, toks, acc)
+        float(acc)
+        dt = (time.time() - t0) / n_iter
+        tput = args.batch * s / dt
+        print(
+            f"prefill: {dt*1e3:.1f} ms for [{args.batch}, {s}] -> {tput:.0f} tok/s "
+            f"(TTFT ~ {dt*1e3/args.batch:.1f} ms/seq)",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"int{args.bits}-g128 packed 7B prefill, batch {args.batch} x {s}, 1 chip",
+            "value": round(tput, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(dt * 1e3, 2),
+        }))
+        return
+
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, 64)), jnp.int32)
     print("prefill + compile...", file=sys.stderr)
     t0 = time.time()
