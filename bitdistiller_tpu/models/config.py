@@ -82,8 +82,10 @@ class ModelConfig:
             attention_bias=cfg.get("attention_bias", model_type == "qwen2"),
             qk_norm=model_type == "qwen3",
             hidden_act=act,
+            # phi3/mistral set sliding_window directly; qwen2 gates it behind
+            # use_sliding_window=False
             sliding_window=cfg.get("sliding_window")
-            if cfg.get("use_sliding_window", False)
+            if cfg.get("use_sliding_window", True)
             else None,
         )
 

@@ -82,8 +82,30 @@ def load_hf_checkpoint(path: str, cfg: ModelConfig | None = None, dtype=jnp.bflo
 
     L = cfg.num_layers
     layers: dict[str, object] = {}
+
+    # Phi-3 stores fused qkv_proj / gate_up_proj — split to our layout
+    phi3_fused = has("model.layers.0.self_attn.qkv_proj.weight")
+
+    def fused_split(i: int):
+        qkv = _to_np(get(f"model.layers.{i}.self_attn.qkv_proj.weight"))  # [Nq+2Nkv, K]
+        gu = _to_np(get(f"model.layers.{i}.mlp.gate_up_proj.weight"))  # [2F, K]
+        qs, kvs = cfg.q_size, cfg.kv_size
+        return {
+            "q": qkv[:qs].T,
+            "k": qkv[qs : qs + kvs].T,
+            "v": qkv[qs + kvs :].T,
+            "gate": gu[: cfg.intermediate_size].T,
+            "up": gu[cfg.intermediate_size :].T,
+        }
+
     for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
         if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+            continue
+        if phi3_fused and ours in ("q", "k", "v", "gate", "up"):
+            stacked = np.stack(
+                [np.ascontiguousarray(fused_split(i)[ours]) for i in range(L)]
+            )
+            layers[ours] = jnp.asarray(stacked).astype(dtype)
             continue
         per_layer = []
         for i in range(L):

@@ -230,10 +230,23 @@ def forward(
         if kv_valid is not None:
             pad = jnp.ones((b, s), bool)
             mask = mask & jnp.concatenate([kv_valid, pad], axis=-1)[:, None, :]
+        if cfg.sliding_window:
+            k_abs = jnp.concatenate(
+                [jnp.broadcast_to(jnp.arange(t)[None], (b, t)),
+                 jnp.broadcast_to(positions, (b, s))], axis=-1)  # [B, T+S]
+            q_abs = jnp.broadcast_to(positions, (b, s))
+            mask = mask & (
+                k_abs[:, None, :] > q_abs[:, :, None] - cfg.sliding_window
+            )
         mask = mask[:, None]  # [B, 1, S, T+S]
-    elif attn_mask is not None:
+    elif attn_mask is not None or cfg.sliding_window:
         allow = jnp.tril(jnp.ones((s, s), bool))
-        mask = allow[None, None] & attn_mask[:, None, None, :].astype(bool)
+        if cfg.sliding_window:
+            allow = allow & (
+                jnp.arange(s)[None, :] > jnp.arange(s)[:, None] - cfg.sliding_window
+            )
+        am = attn_mask if attn_mask is not None else jnp.ones((b, s), jnp.int32)
+        mask = allow[None, None] & am[:, None, None, :].astype(bool)
     else:
         mask = None  # pure causal, handled inside attention
 

@@ -133,6 +133,8 @@ class Engine:
         return None
 
     def _admit(self, req: Request, slot: int):
+        # truncate from the left so the cache never overflows (positions past
+        # max_len would silently clamp in dynamic_update_slice)
         plen = min(len(req.prompt_tokens), self.max_len - 1)
         toks = req.prompt_tokens[-plen:]
         bucket = next(b for b in self.buckets if b >= plen)
