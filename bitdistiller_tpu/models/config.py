@@ -46,6 +46,11 @@ class ModelConfig:
     mlp_style: str = "gated"
     # "rms" (llama) | "layernorm" (falcon/mpt, mean-subtracting with bias)
     norm_type: str = "rms"
+    # gemma-style: rms weight has a unit offset (out = x_hat * (1 + w))
+    norm_offset: float = 0.0
+    # gemma3-style sandwich norms: post-attn norm applies to the attention
+    # OUTPUT (not the residual stream), plus pre/post-feedforward norms
+    sandwich_norm: bool = False
     dtype: str = "bfloat16"
 
     @property
@@ -80,8 +85,13 @@ class ModelConfig:
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", model_type == "qwen2"),
-            qk_norm=model_type == "qwen3",
+            qk_norm=model_type in ("qwen3", "gemma3_text"),
             hidden_act=act,
+            sandwich_norm=model_type in ("gemma2", "gemma3_text"),
+            norm_offset=1.0 if model_type.startswith("gemma") else 0.0,
+            embedding_multiplier=(
+                cfg["hidden_size"] ** 0.5 if model_type.startswith("gemma") else 1.0
+            ),
             # phi3/mistral set sliding_window directly; qwen2 gates it behind
             # use_sliding_window=False
             sliding_window=cfg.get("sliding_window")

@@ -37,6 +37,9 @@ _HF_LAYER_MAP = {
     "down": ("mlp.down_proj.weight", True),
     "q_norm": ("self_attn.q_norm.weight", False),
     "k_norm": ("self_attn.k_norm.weight", False),
+    # gemma3 sandwich norms
+    "pre_ffn_norm": ("pre_feedforward_layernorm.weight", False),
+    "post_ffn_norm": ("post_feedforward_layernorm.weight", False),
 }
 _HF_BIAS_MAP = {
     "q": "self_attn.q_proj.bias",
@@ -100,6 +103,8 @@ def load_hf_checkpoint(path: str, cfg: ModelConfig | None = None, dtype=jnp.bflo
 
     for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
         if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+            continue
+        if ours in ("pre_ffn_norm", "post_ffn_norm") and not cfg.sandwich_norm:
             continue
         if phi3_fused and ours in ("q", "k", "v", "gate", "up"):
             stacked = np.stack(

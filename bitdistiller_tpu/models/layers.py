@@ -63,10 +63,14 @@ def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None,
     return out.astype(dtype)
 
 
-def apply_norm(leaf, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Norm dispatch: array leaf -> RMSNorm; {'w','b'} dict -> LayerNorm."""
+def apply_norm(leaf, x: jnp.ndarray, eps: float, offset: float = 0.0) -> jnp.ndarray:
+    """Norm dispatch: array leaf -> RMSNorm; {'w','b'} dict -> LayerNorm.
+
+    offset: gemma-style unit offset on the rms weight (out = x_hat*(w+offset+0))."""
     if isinstance(leaf, dict):
         return layer_norm(x, leaf["w"], leaf.get("b"), eps)
+    if offset:
+        return rms_norm(x, leaf.astype(jnp.float32) + offset, eps)
     return rms_norm(x, leaf, eps)
 
 

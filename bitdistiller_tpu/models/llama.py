@@ -91,6 +91,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     }
     if not cfg.parallel_block:
         layers["post_attn_norm"] = norm_leaf()
+    if cfg.sandwich_norm:
+        layers["pre_ffn_norm"] = norm_leaf()
+        layers["post_ffn_norm"] = norm_leaf()
     if cfg.mlp_style == "gated":
         layers["gate"] = lin(keys[4], d, ffn, cfg.mlp_bias)
     if cfg.qk_norm:
@@ -123,7 +126,7 @@ def _block(
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
 
-    x = apply_norm(lp["input_norm"], h, cfg.rms_norm_eps)
+    x = apply_norm(lp["input_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if "qkv" in lp:
         # fused qkv projection — one kernel launch (parity with the
         # reference's make_quant_attn fusion, inference/modules/fused_attn.py:304-370)
@@ -164,9 +167,14 @@ def _block(
     if cfg.parallel_block:
         # falcon-style: attention and MLP read the same norm, summed together
         mlp_in = x
+    elif cfg.sandwich_norm:
+        # gemma3-style: post-attn norm on the attention OUTPUT, extra
+        # pre/post-feedforward norms around the MLP
+        h = h + apply_norm(lp["post_attn_norm"], attn_out, cfg.rms_norm_eps, cfg.norm_offset)
+        mlp_in = apply_norm(lp["pre_ffn_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     else:
         h = h + attn_out
-        mlp_in = apply_norm(lp["post_attn_norm"], h, cfg.rms_norm_eps)
+        mlp_in = apply_norm(lp["post_attn_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if cfg.mlp_style == "plain":
         mid = act(linear(lp["up"], mlp_in, quantizer))
     elif "gate_up" in lp:
@@ -178,6 +186,8 @@ def _block(
     mlp = linear(lp["down"], mid, quantizer)
     if cfg.parallel_block:
         return h + attn_out + mlp, new_cache
+    if cfg.sandwich_norm:
+        mlp = apply_norm(lp["post_ffn_norm"], mlp, cfg.rms_norm_eps, cfg.norm_offset)
     return h + mlp, new_cache
 
 
@@ -311,7 +321,7 @@ def forward(
                 v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, cache_pos, 0, 0)),
             )
 
-    h = apply_norm(params["final_norm"], h, cfg.rms_norm_eps)
+    h = apply_norm(params["final_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = h @ params["embed"].T.astype(h.dtype)
     else:

