@@ -170,6 +170,7 @@ def _engine_for_eval(args):
         params, cfg, max_slots=args.max_batch, max_len=2048,
         sampling=SamplingParams(temperature=args.temperature),
         eos_token_id=tok.eos_token_id,
+        decode_horizon=16,
     )
     return eng, tok
 

@@ -51,6 +51,7 @@ def run_teacher_generation(args, *, tokenizer=None, model=None) -> str:
         sampling=SamplingParams(temperature=args.temperature, top_p=args.top_p),
         eos_token_id=tok.eos_token_id,
         seed=args.seed + rank,
+        decode_horizon=16,  # batch generation: throughput over EOS-latency
     )
 
     templated = [style.format(instruction=p) for p in prompts]
