@@ -9,7 +9,11 @@ Subcommands:
   ppl       — WikiText-2 perplexity eval
   pack      — quantize + pack a checkpoint for serving
   chat      — interactive packed-model chat (demo.py parity)
-  bench     — decode throughput microbenchmark
+  eval      — MMLU/ARC/HellaSwag/PIQA/Winogrande/BoolQ loglikelihood tasks
+  gsm8k     — generative GSM8K accuracy
+  humaneval — generative HumanEval pass@1
+  mix_data  — merge+shuffle teacher JSONL sets
+  bench     — decode/prefill throughput microbenchmark
 """
 
 from __future__ import annotations

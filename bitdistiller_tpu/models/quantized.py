@@ -228,8 +228,6 @@ def save_packed_checkpoint(path, packed_params, cfg: ModelConfig, *, bits: int,
             "dtype": cfg.dtype,
         },
     }
-    import io
-
     with open(os.path.join(path, "quant_config.json"), "w") as f:
         json.dump(meta, f, indent=2)
 

@@ -21,6 +21,11 @@ from .packing import (
 )
 
 __all__ = [
+    "apply_clip_cache",
+    "load_clip_cache",
+    "run_autoclip",
+    "save_clip_cache",
+    "search_layer_clip",
     "GroupQuantParams",
     "asym_quant_params",
     "dequantize_int",
@@ -39,3 +44,19 @@ __all__ = [
     "quantize_pack_linear",
     "unpack_codes",
 ]
+
+
+_AUTOCLIP_NAMES = {
+    "apply_clip_cache", "load_clip_cache", "run_autoclip",
+    "save_clip_cache", "search_layer_clip", "apply_clip_to_weight",
+}
+
+
+def __getattr__(name):
+    # autoclip imports the model layer (for activation capture), which itself
+    # imports quant.packing — keep it lazy to avoid the import cycle
+    if name in _AUTOCLIP_NAMES:
+        from . import autoclip
+
+        return getattr(autoclip, name)
+    raise AttributeError(name)

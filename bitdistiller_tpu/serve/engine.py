@@ -102,19 +102,23 @@ class Engine:
 
     # -- jitted pieces ------------------------------------------------------
 
-    def _prefill_impl(self, params, tokens, last_idx):  # [1, S], scalar
+    def _prefill_impl(self, params, tokens, last_idx):  # [nb, S], [nb]
         logits, kv = llama.forward(params, self.cfg, tokens, cache=None, return_kv=True)
-        last = jax.lax.dynamic_index_in_dim(logits, last_idx, axis=1, keepdims=False)
-        return last, kv  # [1, V], KV [L, 1, S, H, D]
+        last = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+        return last, kv  # [nb, V], KV [L, nb, S, H, D]
 
-    def _insert_impl(self, cache: KVCache, kv: KVCache, slot):
-        # kv: [L, 1, S, H, D] -> write rows [0, S) of slot (S <= T_max);
-        # rows beyond the true prompt length hold padding junk but stay
-        # masked by the per-slot position (t < cache_pos)
+    def _insert_impl(self, cache: KVCache, kv: KVCache, slots, n_valid):
+        # kv: [L, nb, S, H, D] -> write rows [0, S) of the first n_valid slots
+        # (nb is padded to max_slots so admission-group size never recompiles);
+        # rows beyond the true prompt length hold padding junk but stay masked
+        # by the per-slot position (t < cache_pos)
         def upd(buf, new):
-            return jax.lax.dynamic_update_slice(
-                buf, new.astype(buf.dtype), (0, slot, 0, 0, 0)
-            )
+            def one(b, i):
+                return jax.lax.dynamic_update_slice(
+                    b, new[:, i].astype(b.dtype)[:, None], (0, slots[i], 0, 0, 0)
+                )
+
+            return jax.lax.fori_loop(0, n_valid, lambda i, b: one(b, i), buf)
 
         return KVCache(k=upd(cache.k, kv.k), v=upd(cache.v, kv.v))
 
@@ -148,30 +152,41 @@ class Engine:
                 return i
         return None
 
-    def _admit(self, req: Request, slot: int):
+    def _admit_group(self, reqs: list, slots: list):
+        """Prefill several requests in ONE batched call and insert each into
+        its slot (serial per-request prefills stall the whole batch)."""
+        t0 = time.time()
         # truncate from the left so the cache never overflows (positions past
         # max_len would silently clamp in dynamic_update_slice)
-        plen = min(len(req.prompt_tokens), self.max_len - 1)
-        toks = req.prompt_tokens[-plen:]
-        bucket = next(b for b in self.buckets if b >= plen)
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, :plen] = toks
-        t0 = time.time()
+        plens = [min(len(r.prompt_tokens), self.max_len - 1) for r in reqs]
+        bucket = next(b for b in self.buckets if b >= max(plens))
+        nb = self.max_slots  # fixed batch: one compile per bucket, not per group
+        padded = np.zeros((nb, bucket), np.int32)
+        last_idx = np.zeros(nb, np.int32)
+        slot_arr = np.zeros(nb, np.int32)
+        for i, (r, pl) in enumerate(zip(reqs, plens)):
+            padded[i, :pl] = r.prompt_tokens[-pl:]
+            last_idx[i] = pl - 1
+            slot_arr[i] = slots[i]
         last_logits, kv = self._prefill(
-            self.params, jnp.asarray(padded), jnp.asarray(plen - 1)
+            self.params, jnp.asarray(padded), jnp.asarray(last_idx)
         )
-        self.cache = self._insert(self.cache, kv, jnp.asarray(slot))
+        self.cache = self._insert(
+            self.cache, kv, jnp.asarray(slot_arr), jnp.asarray(len(reqs))
+        )
         # first sampled token from prompt logits
         self.key, sub = jax.random.split(self.key)
-        first = int(
-            sample_tokens(sub, last_logits, self.sampling, self.prev_tokens[slot : slot + 1])[0]
+        firsts = np.asarray(
+            sample_tokens(sub, last_logits, self.sampling, self.prev_tokens[slot_arr])
         )
-        req.prefill_time = time.time() - t0
-        self.slot_req[slot] = req
-        self.lengths[slot] = plen
-        self.active[slot] = True
-        self.cur_tokens[slot] = first
-        self._emit(slot, first)
+        dt = time.time() - t0
+        for i, (req, slot, plen) in enumerate(zip(reqs, slots, plens)):
+            req.prefill_time = dt
+            self.slot_req[slot] = req
+            self.lengths[slot] = plen
+            self.active[slot] = True
+            self.cur_tokens[slot] = firsts[i]
+            self._emit(slot, int(firsts[i]))
 
     def _emit(self, slot: int, token: int):
         req = self.slot_req[slot]
@@ -197,16 +212,23 @@ class Engine:
         done: list[Request] = []
         pending = len(queue)
         while pending:
-            # admit as many as fit
+            # admit as many as fit, one batched prefill per admission round
+            admit_reqs, admit_slots = [], []
             while queue:
                 slot = self._free_slot()
-                if slot is None:
+                if slot is None or slot in admit_slots:
                     break
-                req = queue.pop(0)
-                self._admit(req, slot)
-                if req.finished:
-                    done.append(req)
-                    pending -= 1
+                admit_reqs.append(queue.pop(0))
+                admit_slots.append(slot)
+                self.active[slot] = True  # reserve while gathering
+            if admit_reqs:
+                for s in admit_slots:
+                    self.active[s] = False  # _admit_group re-activates
+                self._admit_group(admit_reqs, admit_slots)
+                for req in admit_reqs:
+                    if req.finished:
+                        done.append(req)
+                        pending -= 1
             if not self.active.any():
                 continue
             # cache-overflow guard: a slot that can't fit a full horizon ends
