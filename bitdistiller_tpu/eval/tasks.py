@@ -15,7 +15,6 @@ bounded (parity with utils_eval.py:7-114 LMEvalAdaptor's _model_call role).
 from __future__ import annotations
 
 import dataclasses
-import random
 from typing import Callable, Iterable, Optional, Sequence
 
 import jax

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..quant.packing import PackedLinear, pack_codes, quantize_pack_linear
+from ..quant.packing import PackedLinear, quantize_pack_linear
 from .config import ModelConfig
 from .llama import LAYER_LINEARS
 

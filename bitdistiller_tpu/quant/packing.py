@@ -34,8 +34,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import core
-
 
 @partial(
     jax.tree_util.register_dataclass,

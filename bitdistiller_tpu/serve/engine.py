@@ -21,7 +21,6 @@ The same engine serves interactive chat, batch teacher-data generation
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Callable, Iterable, Optional
 

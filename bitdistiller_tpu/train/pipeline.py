@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models import config as mcfg
 from ..models.hf_import import load_hf_checkpoint, save_hf_checkpoint
 from ..parallel.mesh import make_mesh, param_specs, shard_params
 from ..quant.autoclip import apply_clip_cache, load_clip_cache

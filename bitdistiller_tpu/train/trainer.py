@@ -15,8 +15,7 @@ Reference parity (train/train.py:378-525, mytrainer.py:81-241):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
