@@ -59,6 +59,16 @@ def ste_passthrough(rounded: jnp.ndarray, raw: jnp.ndarray) -> jnp.ndarray:
     return raw + jax.lax.stop_gradient(rounded - raw)
 
 
+def clip_torch_grad(x: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
+    """clip(x, lo, hi) with torch.clamp's backward: gradient passes on the
+    CLOSED interval [lo, hi]. jnp.clip splits the gradient 50/50 at ties,
+    which matters here because a group's max/min elements land exactly on the
+    clamp boundary — torch (the reference) gives them full gradient.
+    """
+    inside = (x >= lo) & (x <= hi)
+    return jnp.where(inside, x, jax.lax.stop_gradient(jnp.clip(x, lo, hi)))
+
+
 # ---------------------------------------------------------------------------
 # Group reshape helpers
 # ---------------------------------------------------------------------------
@@ -116,14 +126,18 @@ def fake_quant_int(
     ste=False reproduces the PTQ/eval path (torch.round everywhere,
     quantizer.py:25-69); ste=True reproduces the QAT STE quantizers
     (round-half-away with identity grad on values, quantizer.py:119-182).
+    The reference does NOT detach amax/amin (quantizer.py:132-137), so in
+    STE mode gradients also flow through the per-group scale path (the
+    zero-point still carries no gradient because round's grad is zero).
     """
     wg, orig_shape = _to_groups(w, group_size)
-    params = asym_quant_params(jax.lax.stop_gradient(wg), n_bit)
+    stats = wg if ste else jax.lax.stop_gradient(wg)
+    params = asym_quant_params(stats, n_bit)
     scales = params.scales[..., None]
     zeros = params.zeros[..., None]
     max_int = 2**n_bit - 1
     rnd = ste_round if ste else jnp.round
-    q = jnp.clip(rnd(wg / scales) + zeros, 0, max_int)
+    q = clip_torch_grad(rnd(wg / scales) + zeros, 0, max_int)
     return ((q - zeros) * scales).reshape(orig_shape)
 
 
@@ -195,9 +209,11 @@ def fake_quant_nf3(
     straight through the snapping (detach trick, quantizer.py:238-242).
     """
     wg, orig_shape = _to_groups(w, group_size)
-    stop = jax.lax.stop_gradient
-    scale_pos = jnp.abs(stop(wg).max(axis=-1, keepdims=True))
-    scale_neg = jnp.abs(stop(wg).min(axis=-1, keepdims=True))
+    # reference SteN2F3Quantizer does not detach max/min (quantizer.py:196-204):
+    # with ste=True gradients flow through the scales as well
+    stats = wg if ste else jax.lax.stop_gradient(wg)
+    scale_pos = jnp.abs(stats.max(axis=-1, keepdims=True))
+    scale_neg = jnp.abs(stats.min(axis=-1, keepdims=True))
     x_pos = jnp.where(wg >= 0, wg, 0.0)
     x_neg = jnp.where(wg < 0, wg, 0.0)
     # NB: reference divides without epsilon; scale can be 0 for an all-negative
@@ -293,3 +309,18 @@ def make_fake_quantizer(quant_type: str, group_size: int = 128):
         f"unknown quant_type {quant_type!r}; expected one of "
         "['int{k}-asym', 'ste-n2f3', 'nf3']"
     )
+
+
+def make_weight_quantizer(quant_type: str, group_size: int = 128):
+    """Quantizer for this repo's [K, N] (in-features, out-features) layer
+    weights: groups run along the K axis, per output column.
+
+    The reference stores torch weights as [N, K] and its quantizers group
+    along the last (input-feature) axis (quantizer.py:125-129), so the
+    equivalent here is quantize the transpose. Every consumer of a
+    weight-space quantizer (QAT trainer, periodic eval, PPL/task eval CLI,
+    AutoClip objective, packing) MUST use this wrapper so they all share one
+    quantization grid.
+    """
+    q = make_fake_quantizer(quant_type, group_size)
+    return lambda w: q(w.T).T

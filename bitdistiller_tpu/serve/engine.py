@@ -173,10 +173,19 @@ class Engine:
         self.cache = self._insert(
             self.cache, kv, jnp.asarray(slot_arr), jnp.asarray(len(reqs))
         )
+        # reset the repetition-penalty window of re-used slots BEFORE sampling:
+        # a recycled slot must not penalize the new request with the previous
+        # request's recent tokens
+        admit_idx = jnp.asarray(slot_arr[: len(reqs)])
+        self.prev_tokens = self.prev_tokens.at[admit_idx].set(-1)
         # first sampled token from prompt logits
         self.key, sub = jax.random.split(self.key)
         firsts = np.asarray(
             sample_tokens(sub, last_logits, self.sampling, self.prev_tokens[slot_arr])
+        )
+        # the first token joins the window so decode's penalty sees it
+        self.prev_tokens = self.prev_tokens.at[admit_idx, -1].set(
+            jnp.asarray(firsts[: len(reqs)], jnp.int32)
         )
         dt = time.time() - t0
         for i, (req, slot, plen) in enumerate(zip(reqs, slots, plens)):

@@ -153,6 +153,7 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
 
         micro_step = 0
         logs = []
+        eval_step_fn = None  # built lazily, once, on first eval
         t0 = time.time()
         for epoch in range(args.num_train_epochs):
             for batch in data_loader(
@@ -171,9 +172,13 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                     )
                 if args.save_steps and micro_step % args.save_steps == 0:
                     save_checkpoint(args.output_dir, micro_step, state)
-                if args.eval_steps and micro_step % args.eval_steps == 0 and len(eval_ds):
+                if (args.eval_steps and micro_step % args.eval_steps == 0
+                        and len(eval_ds) and teacher is not None):
+                    if eval_step_fn is None:
+                        eval_step_fn = make_eval_step(cfg, tc, teacher)
                     ev = evaluate(state, cfg, tc, teacher, eval_ds, collator,
-                                  args.per_device_train_batch_size, beta, mesh)
+                                  args.per_device_train_batch_size, beta, mesh,
+                                  eval_step=eval_step_fn)
                     logger.info("eval loss %.4f", ev)
 
         # final consolidated save (HF format, train.py:139-145 parity)
@@ -185,36 +190,77 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         return {"final_loss": logs[-1] if logs else None, "steps": micro_step}
 
 
-def evaluate(state, cfg, tc, teacher, eval_ds, collator, batch_size, beta, mesh):
-    from ..train.losses import kd_loss
+def make_eval_step(cfg, tc, teacher):
+    """Jitted eval step, built ONCE per training run (a per-evaluate() jit
+    would recompile the full teacher+student graph at every eval interval).
+    Uses the same K-axis-grouped quantizer as the train step (trainer
+    make_quantizer) so eval losses live on the training quantization grid.
+    """
     from ..models import llama
-    from ..quant.core import make_fake_quantizer
+    from ..train.losses import kd_loss
+    from .trainer import make_quantizer
 
-    quantizer = make_fake_quantizer(tc.quant_type, tc.q_group_size)
+    quantizer = make_quantizer(tc)
 
     @jax.jit
-    def eval_step(params, batch):
+    def eval_step(params, batch, beta):
         s_logits, _ = llama.forward(params, cfg, batch["input_ids"], quantizer=quantizer,
                                     attn_mask=batch["attention_mask"])
         t_logits, _ = llama.forward(teacher, cfg, batch["input_ids"],
                                     attn_mask=batch["attention_mask"])
         return kd_loss(tc.kd_loss_type, batch["labels"], s_logits, t_logits, beta=beta)
 
-    losses = [
-        float(eval_step(state.params, _shard_batch(b, mesh)))
-        for b in data_loader(eval_ds, collator, batch_size, shuffle=False, drop_last=False)
-    ]
-    return float(np.mean(losses)) if losses else float("nan")
+    return eval_step
 
 
-def _shard_batch(batch: dict, mesh) -> dict:
+def evaluate(state, cfg, tc, teacher, eval_ds, collator, batch_size, beta, mesh,
+             eval_step=None):
+    from ..train.losses import IGNORE_INDEX
+
+    if eval_step is None:
+        eval_step = make_eval_step(cfg, tc, teacher)
+
+    # losses are sum-over-seq / mean-over-batch; padded IGNORE rows contribute
+    # exactly 0 to the sum, so rescale by padded/real to undo their dilution
+    total, n_rows = 0.0, 0
+    for b in data_loader(eval_ds, collator, batch_size, shuffle=False, drop_last=False):
+        n_real = b["input_ids"].shape[0]
+        sb = _shard_batch(b, mesh, pad_ignore=IGNORE_INDEX)
+        n_pad = sb["input_ids"].shape[0]
+        total += float(eval_step(state.params, sb, beta)) * n_pad
+        n_rows += n_real
+    return total / n_rows if n_rows else float("nan")
+
+
+def _shard_batch(batch: dict, mesh, pad_ignore=None) -> dict:
+    """Device-put a host batch dp-sharded. If the batch size is not a multiple
+    of dp: with pad_ignore set, pad with inert rows (labels=IGNORE_INDEX,
+    attention_mask=0, tokens=0) that contribute zero loss; otherwise drop the
+    remainder (duplicating rows would silently bias the loss mean — the
+    reference errors/drops instead).
+    """
     dp = mesh.shape["dp"]
     out = {}
     for k, v in batch.items():
         n = v.shape[0]
-        if n % dp != 0:  # pad batch up to dp multiple by cycling rows
-            target = n + dp - n % dp
-            reps = -(-target // n)
-            v = np.concatenate([v] * reps, axis=0)[:target]
+        if n % dp != 0:
+            if pad_ignore is not None:
+                pad_n = dp - n % dp
+                fill = pad_ignore if k == "labels" else 0
+                pad = np.full((pad_n,) + tuple(v.shape[1:]), fill, dtype=v.dtype)
+                v = np.concatenate([v, pad], axis=0)
+            elif dp % n == 0:
+                # exact replication: every row duplicated the SAME number of
+                # times leaves the batch-mean loss (and gradients) unchanged
+                v = np.concatenate([v] * (dp // n), axis=0)
+            else:
+                # uneven duplication would double-count some rows in the loss
+                # mean (the reference drops/errors instead) — drop the tail
+                v = v[: n - n % dp]
+                if v.shape[0] == 0:
+                    raise ValueError(
+                        f"batch size {n} not compatible with dp={dp}; use a "
+                        "batch size that divides or is divisible by dp"
+                    )
         out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("dp")))
     return out

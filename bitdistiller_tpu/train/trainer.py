@@ -52,9 +52,15 @@ class TrainConfig:
 
 
 def make_quantizer(tc: TrainConfig):
-    from ..quant.core import make_fake_quantizer
+    """Weight quantizer for training/eval forwards.
 
-    return make_fake_quantizer(tc.quant_type, tc.q_group_size)
+    Must group along the input-feature (K) axis of the [K, N] weights so the
+    QAT grid matches AutoClip, the PTQ eval path, and packed serving —
+    make_weight_quantizer handles the transpose.
+    """
+    from ..quant.core import make_weight_quantizer
+
+    return make_weight_quantizer(tc.quant_type, tc.q_group_size)
 
 
 def make_schedule(tc: TrainConfig):

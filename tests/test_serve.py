@@ -124,3 +124,31 @@ def test_engine_streaming_callback(tiny_engine):
     req = Request(prompt_tokens=[1, 2, 3], max_new_tokens=3, stream=got.append)
     eng.run([req])
     assert got == req.output_tokens and len(got) == 3
+
+
+def test_rep_penalty_window_resets_on_slot_reuse(tiny_engine):
+    """A recycled slot must not penalize a new request with the previous
+    request's recent tokens; the first prefill-sampled token must enter the
+    window (ADVICE r1)."""
+    import numpy as np
+
+    cfg, params = tiny_engine
+    eng = Engine(
+        params, cfg, max_slots=1, max_len=32,
+        sampling=SamplingParams(temperature=0.0, repetition_penalty=1.3),
+        eos_token_id=None, rep_window=8,
+    )
+    eng.generate([[1, 2, 3]], max_new_tokens=4)
+    stale = np.asarray(eng.prev_tokens[0]).copy()
+    assert (stale >= 0).sum() >= 4  # window holds the first request's tokens
+
+    # second request through the SAME slot: capture the window used for the
+    # first sampled token by inspecting state right after admission
+    req = __import__("bitdistiller_tpu.serve.engine", fromlist=["Request"]).Request(
+        prompt_tokens=[5, 6], max_new_tokens=1
+    )
+    eng._admit_group([req], [0])
+    window = np.asarray(eng.prev_tokens[0])
+    # all but the newly appended first token must be cleared to -1
+    assert (window[:-1] == -1).all(), window
+    assert window[-1] == req.output_tokens[0]

@@ -121,3 +121,30 @@ def test_data_pipeline(tmp_path):
     b = batches[0]
     assert b["input_ids"].shape == b["labels"].shape == b["attention_mask"].shape
     assert (b["labels"][b["attention_mask"] == 0] == -100).all()
+
+
+def test_trainer_quantizer_grid_matches_cli_and_pack(setup):
+    """The QAT training grid must agree with the PTQ/eval CLI wrapper
+    (cli.py `lambda w: q(w.T).T`) and with the K-axis grouping that AutoClip
+    and packing use — grouping along the wrong axis of the [K, N] weights
+    would train against a different quantization grid than serving uses."""
+    from bitdistiller_tpu.quant.core import (
+        asym_quant_params,
+        make_fake_quantizer,
+    )
+    from bitdistiller_tpu.train.trainer import make_quantizer
+
+    cfg, _, _, tc, _ = setup
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((128, 32)).astype(np.float32))  # [K, N]
+
+    trainer_q = make_quantizer(tc)
+    cli_q = make_fake_quantizer(tc.quant_type, tc.q_group_size)
+    np.testing.assert_allclose(
+        np.asarray(trainer_q(w)), np.asarray(cli_q(w.T).T), rtol=1e-6
+    )
+
+    # scale/zero grid equals the K-axis grid the packing path computes
+    wg = w.T.reshape(-1, w.shape[0] // tc.q_group_size, tc.q_group_size)
+    params = asym_quant_params(wg, tc.bits)
+    assert params.scales.shape == (32, 128 // tc.q_group_size)
