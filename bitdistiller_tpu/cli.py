@@ -265,6 +265,15 @@ def build_parser():
     tr.add_argument("--seed", type=int, default=42)
     tr.add_argument("--dp", type=int, default=None, help="data-parallel size")
     tr.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    tr.add_argument("--zero_stage", type=int, default=2, choices=[0, 2, 3],
+                    help="0: replicated opt state; 2: dp-sharded Adam moments; "
+                         "3: fsdp-sharded params + moments (zero3.json parity)")
+    tr.add_argument("--coordinator_address", default=None,
+                    help="host:port of process 0 for multi-host runs "
+                         "(hostfile/torchrun parity; None = single process "
+                         "or TPU auto-detect)")
+    tr.add_argument("--num_processes", type=int, default=None)
+    tr.add_argument("--process_id", type=int, default=None)
     tr.add_argument("--resume", action="store_true")
     tr.set_defaults(fn=cmd_train)
 

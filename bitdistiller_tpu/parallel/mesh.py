@@ -143,6 +143,46 @@ def shard_packed_model(params, mesh: Mesh, cfg: ModelConfig):
     return out
 
 
+def zero_extend_spec(spec: P, shape: tuple, dp_size: int, axis: str = "dp") -> P:
+    """ZeRO-2 moment sharding: extend a param spec with `axis` on the first
+    unsharded dim whose size divides evenly by dp. Falls back to the original
+    spec (replicated over dp) for small/indivisible leaves.
+
+    Reference: DeepSpeed ZeRO stage 2 shards optimizer state over data ranks
+    (train/config/zero.json); with pjit the same effect is an out_sharding on
+    the Adam moments — XLA then reduce-scatters grads into the moment shard
+    and all-gathers the param update, like ZeRO's bucketed collectives.
+    """
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    if axis in entries:
+        return spec  # already sharded over dp (ZeRO-3 / fsdp params)
+    for d, (e, n) in enumerate(zip(entries, shape)):
+        if e is None and n % dp_size == 0 and n >= dp_size:
+            entries[d] = axis
+            return P(*entries)
+    return spec
+
+
+def opt_state_specs(opt, params, specs, dp_size: int, zero_stage: int = 2):
+    """Partition-spec tree for `opt.init(params)`'s state.
+
+    Param-shaped leaves (Adam mu/nu, MultiSteps acc_grads) get the param's
+    spec, extended over dp when zero_stage >= 2 (if the params are already
+    fsdp/dp-sharded — stage 3 — the spec passes through unchanged). Scalar
+    bookkeeping (step counts) is replicated.
+    """
+    import optax
+
+    shapes = jax.eval_shape(opt.init, params)
+    if zero_stage < 2:
+        ext = lambda sds, spec: spec
+    else:
+        ext = lambda sds, spec: zero_extend_spec(spec, sds.shape, dp_size)
+    return optax.tree_map_params(
+        opt, ext, shapes, specs, transform_non_params=lambda sds: P(),
+    )
+
+
 def shard_params(params, mesh: Mesh, specs) -> dict:
     """Device_put the param tree according to the spec tree."""
     return jax.tree_util.tree_map(

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Rounding primitives
@@ -267,9 +268,12 @@ def quantize_nf3(
 
 
 # Dequant lookup table for the 8 NF3 codes; positive codes use scale_pos,
-# negative ones scale_neg. sign_table marks which scale applies.
-NF3_CODE_VALUES = jnp.asarray(
-    list(NF3_POS_LEVELS) + [-0.2469314038753510, -0.5350227355957031, -1.0]
+# negative ones scale_neg. Kept as a numpy constant: a module-level jnp array
+# would initialize the XLA backend at import, breaking
+# jax.distributed.initialize (which must run before any backend use).
+NF3_CODE_VALUES = np.asarray(
+    list(NF3_POS_LEVELS) + [-0.2469314038753510, -0.5350227355957031, -1.0],
+    dtype=np.float32,
 )
 
 
@@ -279,7 +283,7 @@ def dequantize_nf3(
     scale_neg: jnp.ndarray,
     orig_shape: tuple[int, ...],
 ) -> jnp.ndarray:
-    values = NF3_CODE_VALUES[codes]
+    values = jnp.asarray(NF3_CODE_VALUES)[codes]
     scale = jnp.where(codes <= 4, scale_pos[..., None], scale_neg[..., None])
     return (values * scale).reshape(orig_shape)
 

@@ -15,9 +15,14 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.hf_import import load_hf_checkpoint, save_hf_checkpoint
+from ..parallel.distributed import (
+    global_batch_from_host,
+    host_shard,
+    init_distributed,
+    make_hybrid_mesh,
+)
 from ..parallel.mesh import make_mesh, param_specs, shard_params
 from ..quant.autoclip import apply_clip_cache, load_clip_cache
 from .data import Collator, SupervisedDataset, data_loader
@@ -73,6 +78,13 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
     tokenizer/model may be injected (tests, custom loaders); by default they
     load from args.model_name_or_path.
     """
+    # multi-host rendezvous first (deepspeed-hostfile parity, train.sh:24);
+    # all args None = single process or TPU auto-detection
+    init_distributed(
+        getattr(args, "coordinator_address", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
     if tokenizer is None:
         from transformers import AutoTokenizer
 
@@ -95,6 +107,13 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
     eval_ds = SupervisedDataset.from_jsonl(
         args.data_path, tok.eos_token, args.max_train_samples, "eval", args.seed
     )
+    if jax.process_count() > 1:
+        # each host feeds its own slice; the global batch is assembled from
+        # per-host rows (DistributedSampler parity). Eval stays replicated
+        # (same data on every host -> identical eval program).
+        train_ds = SupervisedDataset(
+            sources=host_shard(train_ds.sources), targets=host_shard(train_ds.targets)
+        )
     collator = Collator(tok, model_max_length=args.model_max_length)
 
     steps_per_epoch = max(len(train_ds) // args.per_device_train_batch_size, 1)
@@ -113,12 +132,21 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         grad_accum=args.gradient_accumulation_steps,
     )
 
-    mesh = make_mesh(dp=args.dp, tp=args.tp)
-    specs = param_specs(cfg)
+    if jax.process_count() > 1:
+        mesh = make_hybrid_mesh(tp=args.tp, dp=args.dp)
+    else:
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+    # ZeRO parity (train/config/zero.json, zero3.json): stage >= 2 shards the
+    # Adam moments over dp; stage 3 additionally fsdp-shards the params
+    # themselves (XLA all-gathers weights per layer during the forward).
+    zero_stage = getattr(args, "zero_stage", 2)
+    specs = param_specs(cfg, fsdp_axis="dp" if zero_stage >= 3 else None)
     with jax.set_mesh(mesh):
         teacher = shard_params(params, mesh, specs) if tc.train_kd else None
         student = teacher if teacher is not None else shard_params(params, mesh, specs)
-        state = init_train_state(student, tc)
+        state = init_train_state(
+            student, tc, mesh=mesh, param_spec_tree=specs, zero_stage=zero_stage
+        )
 
         start_step = 0
         if args.resume:
@@ -149,7 +177,9 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         # BITDISTILLER_DEBUG=1: checkify NaN/Inf detection inside the jitted
         # step (train/train.py:300-376 hook-machinery parity). checked()
         # jits internally; check_error must stay outside the staged fn.
-        step_fn = checked(raw_step) if DEBUG else jax.jit(raw_step)
+        # Donating the state lets XLA update params/moments in place (the
+        # 7B CAKLD memory budget needs it).
+        step_fn = checked(raw_step) if DEBUG else jax.jit(raw_step, donate_argnums=(0,))
 
         micro_step = 0
         logs = []
@@ -262,5 +292,7 @@ def _shard_batch(batch: dict, mesh, pad_ignore=None) -> dict:
                         f"batch size {n} not compatible with dp={dp}; use a "
                         "batch size that divides or is divisible by dp"
                     )
-        out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("dp")))
-    return out
+        out[k] = np.asarray(v)
+    # multi-host: each host's rows are its shard of the global batch;
+    # single-host: plain sharded device_put (global_batch_from_host handles both)
+    return global_batch_from_host(out, mesh)

@@ -107,11 +107,48 @@ class TrainState:
 jax.tree_util.register_dataclass(TrainState, ["params", "opt_state", "step"], [])
 
 
-def init_train_state(params, tc: TrainConfig) -> TrainState:
+def init_train_state(
+    params,
+    tc: TrainConfig,
+    *,
+    mesh=None,
+    param_spec_tree=None,
+    zero_stage: int = 0,
+) -> TrainState:
+    """Build the train state; with a mesh + specs, the optimizer state is
+    materialized directly in its ZeRO sharding (reference: DeepSpeed
+    train/config/zero.json stage 2 / zero3.json stage 3).
+
+    zero_stage semantics here: 0 = opt state follows the params' sharding
+    (replicated over dp unless the params are fsdp-sharded); 2 = Adam
+    moments/accumulators sharded over dp even though params are replicated;
+    3 = pass params already sharded with param_specs(fsdp_axis="dp") and the
+    moments inherit that sharding.
+    """
     opt = make_optimizer(tc)
     # optimizer state in f32 even for bf16 params
-    f32_params = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-    return TrainState(params=f32_params, opt_state=opt.init(f32_params), step=jnp.zeros((), jnp.int32))
+    f32_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    if mesh is not None and param_spec_tree is not None and zero_stage >= 2:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import opt_state_specs
+
+        specs = opt_state_specs(
+            opt, f32_params, param_spec_tree, mesh.shape["dp"], zero_stage
+        )
+        out_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+        )
+        opt_state = jax.jit(opt.init, out_shardings=out_shardings)(f32_params)
+    else:
+        opt_state = opt.init(f32_params)
+    return TrainState(
+        params=f32_params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+    )
 
 
 def make_train_step(

@@ -99,3 +99,89 @@ def test_kv_cache_sharding_specs(tiny):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )
     assert sharded.k.sharding.spec == P(None, "dp", None, "tp", None)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO optimizer-state sharding (DeepSpeed zero.json / zero3.json parity)
+# ---------------------------------------------------------------------------
+
+
+def _dp_leaves(tree):
+    return [
+        x
+        for x in jax.tree_util.tree_leaves(tree)
+        if hasattr(x, "sharding") and "dp" in tuple(getattr(x.sharding, "spec", ()) or ())
+    ]
+
+
+def test_zero2_moments_dp_sharded(tiny):
+    from bitdistiller_tpu.train import TrainConfig, init_train_state, make_train_step
+
+    cfg, params = tiny
+    mesh = make_mesh(dp=4, tp=2)
+    specs = param_specs(cfg)
+    tc = TrainConfig(quant_type="int2-asym", q_group_size=32, total_steps=2,
+                     kd_loss_type="cakld")
+    with jax.set_mesh(mesh):
+        teacher = shard_params(params, mesh, specs)
+        state = init_train_state(teacher, tc, mesh=mesh, param_spec_tree=specs,
+                                 zero_stage=2)
+        moments = _dp_leaves(state.opt_state)
+        assert moments, "no dp-sharded Adam moments"
+        # params stay replicated over dp in stage 2
+        assert not _dp_leaves(state.params)
+        # one train step keeps the moments sharded
+        step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher))
+        batch = {
+            "input_ids": np.zeros((8, 8), np.int32),
+            "labels": np.zeros((8, 8), np.int32),
+            "attention_mask": np.ones((8, 8), np.int32),
+        }
+        batch = {k: jax.device_put(v, NamedSharding(mesh, P("dp")))
+                 for k, v in batch.items()}
+        new_state, _ = step(state, batch, jnp.asarray(0.5))
+        assert len(_dp_leaves(new_state.opt_state)) == len(moments)
+
+
+def test_zero2_with_grad_accum_multisteps(tiny):
+    """optax.MultiSteps wraps the chain; its acc_grads must also shard."""
+    from bitdistiller_tpu.train import TrainConfig, init_train_state
+
+    cfg, params = tiny
+    mesh = make_mesh(dp=4, tp=2)
+    specs = param_specs(cfg)
+    tc = TrainConfig(quant_type="int2-asym", q_group_size=32, total_steps=2,
+                     grad_accum=2)
+    with jax.set_mesh(mesh):
+        teacher = shard_params(params, mesh, specs)
+        state = init_train_state(teacher, tc, mesh=mesh, param_spec_tree=specs,
+                                 zero_stage=2)
+        assert _dp_leaves(state.opt_state)
+
+
+def test_zero3_params_and_moments_dp_sharded(tiny):
+    from bitdistiller_tpu.train import TrainConfig, init_train_state
+
+    cfg, params = tiny
+    mesh = make_mesh(dp=4, tp=2)
+    specs = param_specs(cfg, fsdp_axis="dp")
+    tc = TrainConfig(quant_type="int2-asym", q_group_size=32, total_steps=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh, specs)
+        state = init_train_state(sharded, tc, mesh=mesh, param_spec_tree=specs,
+                                 zero_stage=3)
+        assert _dp_leaves(state.params)
+        assert _dp_leaves(state.opt_state)
+
+
+def test_zero_extend_spec_rules():
+    from bitdistiller_tpu.parallel.mesh import zero_extend_spec
+
+    # first free divisible dim gets dp
+    assert zero_extend_spec(P(None, None, "tp"), (2, 128, 64), 4) == P(None, "dp", "tp")
+    # layer dim indivisible -> skipped
+    assert zero_extend_spec(P(None, None), (3, 128), 4) == P(None, "dp")
+    # already dp-sharded (fsdp) -> unchanged
+    assert zero_extend_spec(P(None, "dp", "tp"), (2, 128, 64), 4) == P(None, "dp", "tp")
+    # nothing divisible -> unchanged
+    assert zero_extend_spec(P(None, None), (3, 5), 4) == P(None, None)
