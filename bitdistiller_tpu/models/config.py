@@ -34,8 +34,14 @@ class ModelConfig:
     # gemma-style: normalize embeddings by sqrt(hidden), approx-gelu MLP
     embedding_multiplier: float = 1.0
     hidden_act: str = "silu"  # "silu" | "gelu" | "gelu_tanh"
-    # sliding window attention (None = global); per-layer pattern later
+    # sliding window attention (None = global)
     sliding_window: Optional[int] = None
+    # gemma2/3-style per-layer attention pattern: tuple of bools, True =
+    # sliding layer (local attention + local rope theta), False = global.
+    # None = sliding_window (if set) applies to every layer.
+    sliding_layers: Optional[tuple] = None
+    # rope theta for sliding layers (gemma3: 10_000 local vs 1_000_000 global)
+    rope_local_theta: Optional[float] = None
     # falcon-style: attention and MLP both read the same norm, summed into
     # the residual in parallel (one norm per layer)
     parallel_block: bool = False
@@ -67,11 +73,76 @@ class ModelConfig:
 
     @staticmethod
     def from_hf_config(cfg: dict) -> "ModelConfig":
-        """Build from a HF config.json dict (llama/qwen2/qwen3/tinyllama...)."""
+        """Build from a HF config.json dict. Covers the reference's registry
+        (clip_utils.py:234-290): llama/tinyllama, qwen2/3, phi3, gemma2/3,
+        falcon, mpt."""
         model_type = cfg.get("model_type", "llama")
+        if model_type == "falcon" or model_type == "RefinedWeb" or model_type == "RefinedWebModel":
+            alibi = cfg.get("alibi", False)
+            return ModelConfig(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg.get("ffn_hidden_size", 4 * cfg["hidden_size"]),
+                num_layers=cfg.get("num_hidden_layers", cfg.get("n_layer")),
+                num_heads=cfg.get("num_attention_heads", cfg.get("n_head")),
+                num_kv_heads=(
+                    1 if cfg.get("multi_query", True)
+                    else cfg.get("num_kv_heads", cfg.get("n_head_kv", 1))
+                ),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                parallel_block=cfg.get("parallel_attn", True),
+                alibi=alibi,
+                use_rope=not alibi,
+                hidden_act="gelu",
+                mlp_style="plain",
+                norm_type="layernorm",
+            )
+        if model_type == "mpt":
+            attn_cfg = cfg.get("attn_config", {})
+            d = cfg["d_model"]
+            return ModelConfig(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=d,
+                intermediate_size=int(cfg.get("expansion_ratio", 4) * d),
+                num_layers=cfg["n_layers"],
+                num_heads=cfg["n_heads"],
+                num_kv_heads=attn_cfg.get("kv_n_heads", cfg["n_heads"]),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                max_position_embeddings=cfg.get("max_seq_len", 2048),
+                tie_word_embeddings=True,
+                alibi=attn_cfg.get("alibi", True),
+                use_rope=not attn_cfg.get("alibi", True),
+                hidden_act="gelu",
+                mlp_style="plain",
+                norm_type="layernorm",
+            )
         act = cfg.get("hidden_act", "silu")
         if act == "gelu_pytorch_tanh":
             act = "gelu_tanh"
+        # gemma2/3 interleave sliding(local-rope)/global layers
+        # (reference supports gemma3 via clip_utils.py:259-267)
+        sliding_layers = None
+        rope_local_theta = None
+        n_layers = cfg["num_hidden_layers"]
+        if model_type in ("gemma2", "gemma3_text") and cfg.get("sliding_window"):
+            layer_types = cfg.get("layer_types")
+            if layer_types:
+                sliding_layers = tuple(
+                    lt == "sliding_attention" for lt in layer_types
+                )
+            else:
+                # gemma3 default: every Nth layer global, the rest sliding;
+                # gemma2: alternate (pattern 2)
+                pattern = cfg.get(
+                    "sliding_window_pattern", 6 if model_type == "gemma3_text" else 2
+                )
+                sliding_layers = tuple(
+                    (i + 1) % pattern != 0 for i in range(n_layers)
+                )
+            rope_local_theta = cfg.get("rope_local_base_freq", 10000.0)
         return ModelConfig(
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
@@ -97,6 +168,8 @@ class ModelConfig:
             sliding_window=cfg.get("sliding_window")
             if cfg.get("use_sliding_window", True)
             else None,
+            sliding_layers=sliding_layers,
+            rope_local_theta=rope_local_theta,
         )
 
     @staticmethod

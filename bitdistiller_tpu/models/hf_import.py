@@ -66,11 +66,133 @@ def _to_np(t: np.ndarray) -> np.ndarray:
     return t
 
 
+def _load_falcon(raw: dict, cfg: ModelConfig, dtype):
+    """Falcon checkpoints (tiiuae/falcon-7b layout; reference
+    inference/models/falcon.py, clip_utils.py get_blocks 'falcon' branch).
+
+    Fused query_key_value [(H+2)*dh, K] splits sequentially into q/k/v for the
+    multi-query (num_kv_heads=1) architecture. The 40B-style
+    new_decoder_architecture interleaves kv groups and is not supported yet.
+    """
+    if cfg.num_kv_heads not in (1, cfg.num_heads):
+        raise NotImplementedError(
+            "falcon new_decoder_architecture (grouped interleaved qkv) import"
+        )
+    L = cfg.num_layers
+    dh = cfg.actual_head_dim
+    q_rows = cfg.num_heads * dh
+    kv_rows = cfg.num_kv_heads * dh
+    layers: dict = {n: [] for n in ("input_norm_w", "input_norm_b", "q", "k", "v", "o", "up", "down")}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        qkv = raw[f"{p}.self_attention.query_key_value.weight"]  # [(H+2hkv)*dh, K]
+        layers["q"].append(qkv[:q_rows].T)
+        layers["k"].append(qkv[q_rows : q_rows + kv_rows].T)
+        layers["v"].append(qkv[q_rows + kv_rows :].T)
+        layers["o"].append(raw[f"{p}.self_attention.dense.weight"].T)
+        layers["up"].append(raw[f"{p}.mlp.dense_h_to_4h.weight"].T)
+        layers["down"].append(raw[f"{p}.mlp.dense_4h_to_h.weight"].T)
+        layers["input_norm_w"].append(raw[f"{p}.input_layernorm.weight"])
+        layers["input_norm_b"].append(raw[f"{p}.input_layernorm.bias"])
+
+    def stack(xs):
+        return jnp.asarray(np.stack([np.ascontiguousarray(x) for x in xs])).astype(dtype)
+
+    out_layers = {
+        "input_norm": {"w": stack(layers["input_norm_w"]), "b": stack(layers["input_norm_b"])},
+        "q": {"w": stack(layers["q"])},
+        "k": {"w": stack(layers["k"])},
+        "v": {"w": stack(layers["v"])},
+        "o": {"w": stack(layers["o"])},
+        "up": {"w": stack(layers["up"])},
+        "down": {"w": stack(layers["down"])},
+    }
+    if not cfg.parallel_block:
+        # falcon variants with parallel_attn=False carry a post-attention norm
+        out_layers["post_attn_norm"] = {
+            "w": stack([raw[f"transformer.h.{i}.post_attention_layernorm.weight"] for i in range(L)]),
+            "b": stack([raw[f"transformer.h.{i}.post_attention_layernorm.bias"] for i in range(L)]),
+        }
+    params = {
+        "embed": jnp.asarray(raw["transformer.word_embeddings.weight"]).astype(dtype),
+        "final_norm": {
+            "w": jnp.asarray(raw["transformer.ln_f.weight"]).astype(dtype),
+            "b": jnp.asarray(raw["transformer.ln_f.bias"]).astype(dtype),
+        },
+        "layers": out_layers,
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in raw:
+        params["lm_head"] = {
+            "w": jnp.asarray(np.ascontiguousarray(raw["lm_head.weight"].T)).astype(dtype)
+        }
+    return params
+
+
+def _load_mpt(raw: dict, cfg: ModelConfig, dtype):
+    """MPT checkpoints (mosaicml/mpt-7b layout; reference
+    inference/models/mpt.py, clip_utils.py get_blocks 'mpt' branch).
+    Wqkv [3D, D] splits sequentially; LayerNorms have no bias (no_bias=True),
+    stored here with explicit zero biases for the layernorm leaf format."""
+    L = cfg.num_layers
+    d = cfg.hidden_size
+    kv = cfg.kv_size
+
+    def stack(xs):
+        return jnp.asarray(np.stack([np.ascontiguousarray(x) for x in xs])).astype(dtype)
+
+    def norm(prefix):
+        w = stack([raw[f"transformer.blocks.{i}.{prefix}.weight"] for i in range(L)])
+        bias_key = f"transformer.blocks.0.{prefix}.bias"
+        if bias_key in raw:
+            b = stack([raw[f"transformer.blocks.{i}.{prefix}.bias"] for i in range(L)])
+        else:
+            b = jnp.zeros_like(w)
+        return {"w": w, "b": b}
+
+    qs, ks, vs, os_, ups, downs = [], [], [], [], [], []
+    for i in range(L):
+        p = f"transformer.blocks.{i}"
+        wqkv = raw[f"{p}.attn.Wqkv.weight"]  # [D + 2*kv, D]
+        qs.append(wqkv[:d].T)
+        ks.append(wqkv[d : d + kv].T)
+        vs.append(wqkv[d + kv :].T)
+        os_.append(raw[f"{p}.attn.out_proj.weight"].T)
+        ups.append(raw[f"{p}.ffn.up_proj.weight"].T)
+        downs.append(raw[f"{p}.ffn.down_proj.weight"].T)
+    out_layers = {
+        "input_norm": norm("norm_1"),
+        "post_attn_norm": norm("norm_2"),
+        "q": {"w": stack(qs)},
+        "k": {"w": stack(ks)},
+        "v": {"w": stack(vs)},
+        "o": {"w": stack(os_)},
+        "up": {"w": stack(ups)},
+        "down": {"w": stack(downs)},
+    }
+    fw = jnp.asarray(raw["transformer.norm_f.weight"]).astype(dtype)
+    fb = (
+        jnp.asarray(raw["transformer.norm_f.bias"]).astype(dtype)
+        if "transformer.norm_f.bias" in raw
+        else jnp.zeros_like(fw)
+    )
+    return {
+        "embed": jnp.asarray(raw["transformer.wte.weight"]).astype(dtype),
+        "final_norm": {"w": fw, "b": fb},
+        "layers": out_layers,
+    }
+
+
 def load_hf_checkpoint(path: str, cfg: ModelConfig | None = None, dtype=jnp.bfloat16):
-    """Load an HF checkpoint dir -> (params, cfg)."""
+    """Load an HF checkpoint dir -> (params, cfg). Families: llama/tinyllama,
+    qwen2/3, phi3 (fused qkv), gemma2/3, falcon, mpt."""
     if cfg is None:
         cfg = ModelConfig.from_pretrained(path)
     raw = _load_all_tensors(path)
+
+    if any(k.startswith("transformer.blocks.") for k in raw):
+        return _load_mpt(raw, cfg, dtype), cfg
+    if any(k.startswith("transformer.h.") for k in raw):
+        return _load_falcon(raw, cfg, dtype), cfg
 
     def get(name):
         if name in raw:

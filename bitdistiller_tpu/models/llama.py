@@ -99,9 +99,14 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((L, dh), dtype)
         layers["k_norm"] = jnp.ones((L, dh), dtype)
+    final_norm = (
+        {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+        if cfg.norm_type == "layernorm"
+        else jnp.ones((d,), dtype)
+    )
     params = {
         "embed": dense(keys[7], (cfg.vocab_size, d), scale=0.02),
-        "final_norm": jnp.ones((d,), dtype),
+        "final_norm": final_norm,
         "layers": layers,
     }
     if not cfg.tie_word_embeddings:
@@ -122,23 +127,25 @@ def _block(
     causal_offset: int = 0,
     keep_kv: bool = False,
     attn_bias: jnp.ndarray | None = None,  # ALiBi [B, Hq, S, T(+S)]
+    linear_fn=None,  # (name, leaf, x) -> y hook; AutoClip capture plugs in here
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
+    lin = linear_fn or (lambda _name, leaf, x: linear(leaf, x, quantizer))
 
     x = apply_norm(lp["input_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if "qkv" in lp:
         # fused qkv projection — one kernel launch (parity with the
         # reference's make_quant_attn fusion, inference/modules/fused_attn.py:304-370)
-        qkv = linear(lp["qkv"], x, quantizer)
+        qkv = lin("qkv", lp["qkv"], x)
         q_sz, kv_sz = hq * dh, hkv * dh
         q = qkv[..., :q_sz].reshape(b, s, hq, dh)
         k = qkv[..., q_sz : q_sz + kv_sz].reshape(b, s, hkv, dh)
         v = qkv[..., q_sz + kv_sz :].reshape(b, s, hkv, dh)
     else:
-        q = linear(lp["q"], x, quantizer).reshape(b, s, hq, dh)
-        k = linear(lp["k"], x, quantizer).reshape(b, s, hkv, dh)
-        v = linear(lp["v"], x, quantizer).reshape(b, s, hkv, dh)
+        q = lin("q", lp["q"], x).reshape(b, s, hq, dh)
+        k = lin("k", lp["k"], x).reshape(b, s, hkv, dh)
+        v = lin("v", lp["v"], x).reshape(b, s, hkv, dh)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
@@ -162,7 +169,7 @@ def _block(
         )
         new_cache = (k, v) if keep_kv else None
 
-    attn_out = linear(lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype), quantizer)
+    attn_out = lin("o", lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype))
     act = _activation(cfg.hidden_act)
     if cfg.parallel_block:
         # falcon-style: attention and MLP read the same norm, summed together
@@ -176,14 +183,14 @@ def _block(
         h = h + attn_out
         mlp_in = apply_norm(lp["post_attn_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if cfg.mlp_style == "plain":
-        mid = act(linear(lp["up"], mlp_in, quantizer))
+        mid = act(lin("up", lp["up"], mlp_in))
     elif "gate_up" in lp:
-        gu = linear(lp["gate_up"], mlp_in, quantizer)
+        gu = lin("gate_up", lp["gate_up"], mlp_in)
         gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
         mid = act(gate) * up
     else:
-        mid = act(linear(lp["gate"], mlp_in, quantizer)) * linear(lp["up"], mlp_in, quantizer)
-    mlp = linear(lp["down"], mid, quantizer)
+        mid = act(lin("gate", lp["gate"], mlp_in)) * lin("up", lp["up"], mlp_in)
+    mlp = lin("down", lp["down"], mid)
     if cfg.parallel_block:
         return h + attn_out + mlp, new_cache
     if cfg.sandwich_norm:
@@ -223,42 +230,59 @@ def forward(
     else:
         positions = (jnp.arange(s) + pos_vec)[None, :]  # [1, S]
     cos, sin = rope_cos_sin(positions, cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
-
-    # Build the attention mask once, outside the scan.
-    if cache is not None:
-        # attention runs over [cache (read-only, T_max) ++ fresh tokens (S)]:
-        # cache slots are valid strictly below cache_pos; fresh token j sits
-        # at absolute position cache_pos + j and is causally visible.
-        t = cache.k.shape[2]
-        k_pos = jnp.arange(t)[None, None, :]  # [1, 1, T]
-        start = pos_vec.reshape(-1, 1, 1) if per_slot else pos_vec.reshape(1, 1, 1)
-        allow_cache = jnp.broadcast_to(k_pos < start, (b, s, t))
-        allow_new = jnp.broadcast_to(
-            jnp.arange(s)[None, :] <= jnp.arange(s)[:, None], (b, s, s)
+    # gemma2/3: sliding layers rotate with their own (local) theta
+    per_layer_sliding = bool(cfg.sliding_layers) and cfg.sliding_window is not None
+    if per_layer_sliding:
+        cos_l, sin_l = rope_cos_sin(
+            positions, cfg.actual_head_dim,
+            cfg.rope_local_theta or cfg.rope_theta, compute_dtype,
         )
-        mask = jnp.concatenate([allow_cache, allow_new], axis=-1)  # [B, S, T+S]
-        if kv_valid is not None:
-            pad = jnp.ones((b, s), bool)
-            mask = mask & jnp.concatenate([kv_valid, pad], axis=-1)[:, None, :]
-        if cfg.sliding_window:
-            k_abs = jnp.concatenate(
-                [jnp.broadcast_to(jnp.arange(t)[None], (b, t)),
-                 jnp.broadcast_to(positions, (b, s))], axis=-1)  # [B, T+S]
-            q_abs = jnp.broadcast_to(positions, (b, s))
-            mask = mask & (
-                k_abs[:, None, :] > q_abs[:, :, None] - cfg.sliding_window
+
+    def build_mask(window: Optional[int]):
+        """[B, 1, S, T(+S)] boolean mask for a given sliding window
+        (None = global); returns None when pure causal suffices."""
+        if cache is not None:
+            # attention runs over [cache (read-only, T_max) ++ fresh tokens]:
+            # cache slots valid strictly below cache_pos; fresh token j sits
+            # at absolute position cache_pos + j and is causally visible.
+            t = cache.k.shape[2]
+            k_pos = jnp.arange(t)[None, None, :]  # [1, 1, T]
+            start = pos_vec.reshape(-1, 1, 1) if per_slot else pos_vec.reshape(1, 1, 1)
+            allow_cache = jnp.broadcast_to(k_pos < start, (b, s, t))
+            allow_new = jnp.broadcast_to(
+                jnp.arange(s)[None, :] <= jnp.arange(s)[:, None], (b, s, s)
             )
-        mask = mask[:, None]  # [B, 1, S, T+S]
-    elif attn_mask is not None or cfg.sliding_window:
-        allow = jnp.tril(jnp.ones((s, s), bool))
-        if cfg.sliding_window:
-            allow = allow & (
-                jnp.arange(s)[None, :] > jnp.arange(s)[:, None] - cfg.sliding_window
+            m = jnp.concatenate([allow_cache, allow_new], axis=-1)  # [B, S, T+S]
+            if kv_valid is not None:
+                pad = jnp.ones((b, s), bool)
+                m = m & jnp.concatenate([kv_valid, pad], axis=-1)[:, None, :]
+            if window:
+                k_abs = jnp.concatenate(
+                    [jnp.broadcast_to(jnp.arange(t)[None], (b, t)),
+                     jnp.broadcast_to(positions, (b, s))], axis=-1)  # [B, T+S]
+                q_abs = jnp.broadcast_to(positions, (b, s))
+                m = m & (k_abs[:, None, :] > q_abs[:, :, None] - window)
+            return m[:, None]  # [B, 1, S, T+S]
+        if attn_mask is not None or window:
+            allow = jnp.tril(jnp.ones((s, s), bool))
+            if window:
+                allow = allow & (
+                    jnp.arange(s)[None, :] > jnp.arange(s)[:, None] - window
+                )
+            am = attn_mask if attn_mask is not None else jnp.ones((b, s), jnp.int32)
+            return allow[None, None] & am[:, None, None, :].astype(bool)
+        return None  # pure causal, handled inside attention
+
+    if per_layer_sliding:
+        mask_sliding = build_mask(cfg.sliding_window)
+        mask_global = build_mask(None)
+        if mask_global is None:  # explicit causal so both masks share a shape
+            mask_global = jnp.broadcast_to(
+                jnp.tril(jnp.ones((s, s), bool))[None, None], mask_sliding.shape
             )
-        am = attn_mask if attn_mask is not None else jnp.ones((b, s), jnp.int32)
-        mask = allow[None, None] & am[:, None, None, :].astype(bool)
+        mask = None  # selected per layer inside the scan
     else:
-        mask = None  # pure causal, handled inside attention
+        mask = build_mask(cfg.sliding_window)
 
     # ALiBi position bias (MPT family): computed once, shared by all layers
     attn_bias = None
@@ -280,19 +304,39 @@ def forward(
         attn_bias = -slopes[None, :, None, None] * jnp.maximum(dist, 0.0)[:, None]
 
     lp_stack = params["layers"]
+    sliding_flags = (
+        jnp.asarray(cfg.sliding_layers, bool) if per_layer_sliding else None
+    )
+
+    def select_layer_mode(flag):
+        """Pick (cos, sin, mask) for a layer by its sliding/global flag."""
+        if flag is None:
+            return cos, sin, mask
+        c = jnp.where(flag, cos_l, cos)
+        si = jnp.where(flag, sin_l, sin)
+        m = jnp.where(flag, mask_sliding, mask_global)
+        return c, si, m
 
     def body(carry, layer_in):
         hidden = carry
         if cache is None:
-            lp = layer_in
+            if sliding_flags is not None:
+                lp, flag = layer_in
+            else:
+                lp, flag = layer_in, None
+            c, si, m = select_layer_mode(flag)
             new_h, kv = _block(
-                cfg, lp, hidden, cos, sin, mask, None, 0, quantizer,
+                cfg, lp, hidden, c, si, m, None, 0, quantizer,
                 keep_kv=return_kv, attn_bias=attn_bias,
             )
             return new_h, kv
-        lp, ck, cv = layer_in
+        if sliding_flags is not None:
+            lp, ck, cv, flag = layer_in
+        else:
+            (lp, ck, cv), flag = layer_in, None
+        c, si, m = select_layer_mode(flag)
         new_h, new_kv = _block(
-            cfg, lp, hidden, cos, sin, mask, (ck, cv), cache_pos, quantizer,
+            cfg, lp, hidden, c, si, m, (ck, cv), cache_pos, quantizer,
             attn_bias=attn_bias,
         )
         return new_h, new_kv
@@ -301,10 +345,16 @@ def forward(
         body = jax.checkpoint(body, prevent_cse=False)
 
     if cache is None:
-        h, kv = jax.lax.scan(body, h, lp_stack)
+        xs = (lp_stack, sliding_flags) if sliding_flags is not None else lp_stack
+        h, kv = jax.lax.scan(body, h, xs)
         new_cache = KVCache(k=kv[0], v=kv[1]) if return_kv else None
     else:
-        h, (nk, nv) = jax.lax.scan(body, h, (lp_stack, cache.k, cache.v))
+        xs = (
+            (lp_stack, cache.k, cache.v, sliding_flags)
+            if sliding_flags is not None
+            else (lp_stack, cache.k, cache.v)
+        )
+        h, (nk, nv) = jax.lax.scan(body, h, xs)
         # single small write-back of the fresh tokens ([L, B, S, Hkv, Dh])
         if per_slot:
             # per-slot positions: scatter each batch row at its own offset

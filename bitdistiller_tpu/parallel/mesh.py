@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -46,34 +47,52 @@ _COL = ("q", "k", "v", "gate", "up")
 _ROW = ("o", "down")
 
 
-def param_specs(cfg: ModelConfig, fsdp_axis: str | None = None) -> dict:
+_COL_FUSED = ("qkv", "gate_up")  # fused projections shard their concat (N) axis
+
+
+def param_specs_from_params(params, fsdp_axis: str | None = None) -> dict:
+    """Derive the partition-spec tree from the ACTUAL param tree structure —
+    works for every family (falcon's single-norm parallel block, mpt's
+    bias-less layernorms, gemma sandwich norms, qwen biases) because it
+    mirrors whatever leaves exist instead of assuming the llama layout.
+    """
     f = fsdp_axis
-    layers: dict = {
-        "input_norm": P(None, None),
-        "post_attn_norm": P(None, None),
-    }
-    for name in _COL:
-        layers[name] = {"w": P(None, f, "tp")}
-    for name in _ROW:
-        layers[name] = {"w": P(None, "tp", f)}
-    if cfg.attention_bias:
-        for name in ("q", "k", "v"):
-            layers[name]["b"] = P(None, "tp")
-    if cfg.mlp_bias:
-        for name in ("gate", "up"):
-            layers[name]["b"] = P(None, "tp")
-        layers["down"]["b"] = P(None, None)
-    if cfg.qk_norm:
-        layers["q_norm"] = P(None, None)
-        layers["k_norm"] = P(None, None)
+
+    def rep(leaf):
+        return P(*([None] * leaf.ndim))
+
+    def linear_spec(name, leaf):
+        col = name in _COL or name in _COL_FUSED
+        out: dict = {"w": P(None, f, "tp") if col else P(None, "tp", f)}
+        if isinstance(leaf, dict) and "b" in leaf:
+            out["b"] = P(None, "tp") if col else P(None, None)
+        return out
+
+    layers: dict = {}
+    for name, leaf in params["layers"].items():
+        if name in _COL or name in _ROW or name in _COL_FUSED:
+            layers[name] = linear_spec(name, leaf)
+        else:  # norms and other per-layer vectors: replicated
+            layers[name] = jax.tree_util.tree_map(rep, leaf)
     specs = {
         "embed": P("tp", f),  # vocab-sharded embedding
-        "final_norm": P(None),
+        "final_norm": jax.tree_util.tree_map(rep, params["final_norm"]),
         "layers": layers,
     }
-    if not cfg.tie_word_embeddings:
+    if "lm_head" in params:
         specs["lm_head"] = {"w": P(f, "tp")}
     return specs
+
+
+def param_specs(cfg: ModelConfig, fsdp_axis: str | None = None) -> dict:
+    """Spec tree for init_params(cfg)'s structure (derived from an abstract
+    init so it can never drift from the real tree)."""
+    from ..models import llama
+
+    shapes = jax.eval_shape(
+        lambda: llama.init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    )
+    return param_specs_from_params(shapes, fsdp_axis)
 
 
 def packed_param_specs(cfg: ModelConfig) -> dict:
@@ -119,7 +138,9 @@ def shard_packed_model(params, mesh: Mesh, cfg: ModelConfig):
 
     out = {k: v for k, v in params.items()}
     out["embed"] = put_leaf(params["embed"], specs["embed"])
-    out["final_norm"] = put_leaf(params["final_norm"], specs["final_norm"])
+    out["final_norm"] = jax.tree_util.tree_map(
+        put_leaf, params["final_norm"], specs["final_norm"]
+    )
     if "lm_head" in params:
         out["lm_head"] = {"w": put_leaf(params["lm_head"]["w"], specs["lm_head"]["w"])}
     layers = {}

@@ -26,46 +26,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.layers import (
-    _activation,
-    apply_rope,
-    causal_attention,
-    linear,
-    rms_norm,
-    rope_cos_sin,
-)
+from ..models.layers import linear
 from .core import fake_quant_int, fake_quant_nf3
 
 CLIP_SKIP = ("q", "k")  # qk bmm is hard to clip precisely (autoclip.py:97)
-CLIP_LINEARS = ("v", "o", "gate", "up", "down")
+
+
+def clip_linears(cfg: ModelConfig) -> tuple[str, ...]:
+    """Clip targets for this architecture: every linear except q/k
+    (autoclip.py:96-98 skip list). Gated MLPs clip gate+up, plain MLPs
+    (falcon/mpt) only up."""
+    names = ["v", "o"]
+    if cfg.mlp_style == "gated":
+        names += ["gate", "up"]
+    else:
+        names += ["up"]
+    return tuple(names + ["down"])
 
 
 def capture_block_inputs(
-    cfg: ModelConfig, lp, h: jnp.ndarray, cos, sin, mask
+    cfg: ModelConfig, lp, h: jnp.ndarray, cos, sin, mask, attn_bias=None
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Mirror llama._block, returning (next_hidden, {linear_name: input})."""
-    b, s, d = h.shape
-    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
-    caps = {}
-    x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
-    caps["q"] = caps["k"] = caps["v"] = x
-    q = linear(lp["q"], x).reshape(b, s, hq, dh)
-    k = linear(lp["k"], x).reshape(b, s, hkv, dh)
-    v = linear(lp["v"], x).reshape(b, s, hkv, dh)
-    if cfg.qk_norm:
-        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    attn = causal_attention(q, k, v, mask).reshape(b, s, hq * dh).astype(h.dtype)
-    caps["o"] = attn
-    h = h + linear(lp["o"], attn)
-    x = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
-    caps["gate"] = caps["up"] = x
-    act = _activation(cfg.hidden_act)
-    mid = act(linear(lp["gate"], x)) * linear(lp["up"], x)
-    caps["down"] = mid
-    return h + linear(lp["down"], mid), caps
+    """Run llama._block itself with a capturing linear hook, returning
+    (next_hidden, {linear_name: input}).
+
+    Running the REAL block (not a hand-written mirror) makes capture correct
+    for every family flag combination — parallel_block (falcon),
+    plain MLP (falcon/mpt), LayerNorm leaves, sandwich norms (gemma),
+    ALiBi (mpt) — the way the reference's nn.Linear forward hooks are
+    (autoclip.py:170-180).
+    """
+    from ..models import llama
+
+    caps: dict[str, jnp.ndarray] = {}
+
+    def capture_lin(name, leaf, x):
+        caps[name] = x
+        return linear(leaf, x)
+
+    new_h, _ = llama._block(
+        cfg, lp, h, cos, sin, mask, None, 0, None,
+        attn_bias=attn_bias, linear_fn=capture_lin,
+    )
+    return new_h, caps
 
 
 def _quantize_for_search(w, quant_type: str, n_bit: int, group_size: int):
@@ -172,20 +175,53 @@ def run_autoclip(
     if cfg.embedding_multiplier != 1.0:
         h = h * jnp.asarray(cfg.embedding_multiplier, compute_dtype)
     positions = jnp.arange(s)[None, :]
+    from ..models.layers import rope_cos_sin
+
     cos, sin = rope_cos_sin(positions, cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
+    # sliding-window mask (phi3/mistral single-window; gemma2/3 per-layer)
+    per_layer_sliding = bool(cfg.sliding_layers) and cfg.sliding_window is not None
+    mask_sliding = base_mask = None
+    cos_l = sin_l = None
+    if cfg.sliding_window:
+        allow = jnp.tril(jnp.ones((s, s), bool)) & (
+            jnp.arange(s)[None, :] > jnp.arange(s)[:, None] - cfg.sliding_window
+        )
+        if per_layer_sliding:
+            mask_sliding = allow[None, None]
+            cos_l, sin_l = rope_cos_sin(
+                positions, cfg.actual_head_dim,
+                cfg.rope_local_theta or cfg.rope_theta, compute_dtype,
+            )
+        else:
+            base_mask = allow[None, None]  # every layer slides
+
+    # ALiBi bias for MPT-family capture (full causal: keys are the queries)
+    attn_bias = None
+    if cfg.alibi:
+        from ..models.layers import alibi_slopes
+
+        slopes = alibi_slopes(cfg.num_heads)
+        q_pos = jnp.broadcast_to(positions, (nb, s))
+        dist = (q_pos[:, :, None] - q_pos[:, None, :]).astype(jnp.float32)
+        attn_bias = -slopes[None, :, None, None] * jnp.maximum(dist, 0.0)[:, None]
 
     capture = jax.jit(
-        lambda lp, h: capture_block_inputs(cfg, lp, h, cos, sin, None)
+        lambda lp, h, c, si, m: capture_block_inputs(cfg, lp, h, c, si, m, attn_bias)
     )
 
+    targets = clip_linears(cfg)
     out_params = jax.tree_util.tree_map(lambda x: x, params)
     clip_results: dict = {}
     stacked = params["layers"]
     for li in range(cfg.num_layers):
         lp = jax.tree_util.tree_map(lambda x: x[li], stacked)
-        h, caps = capture(lp, h)  # next-block inputs use UNCLIPPED weights
+        if per_layer_sliding and cfg.sliding_layers[li]:
+            c, si, m = cos_l, sin_l, mask_sliding
+        else:
+            c, si, m = cos, sin, base_mask
+        h, caps = capture(lp, h, c, si, m)  # next-block inputs: UNCLIPPED weights
         layer_clips = {}
-        for name in CLIP_LINEARS:
+        for name in targets:
             feat = caps[name].reshape(-1, caps[name].shape[-1])  # [B*S, K]
             stride = max(feat.shape[0] // n_sample_token, 1)
             feat = feat[::stride]

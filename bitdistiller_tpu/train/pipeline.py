@@ -23,7 +23,7 @@ from ..parallel.distributed import (
     init_distributed,
     make_hybrid_mesh,
 )
-from ..parallel.mesh import make_mesh, param_specs, shard_params
+from ..parallel.mesh import make_mesh, param_specs_from_params, shard_params
 from ..quant.autoclip import apply_clip_cache, load_clip_cache
 from .data import Collator, SupervisedDataset, data_loader
 from .trainer import (
@@ -140,7 +140,8 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
     # Adam moments over dp; stage 3 additionally fsdp-shards the params
     # themselves (XLA all-gathers weights per layer during the forward).
     zero_stage = getattr(args, "zero_stage", 2)
-    specs = param_specs(cfg, fsdp_axis="dp" if zero_stage >= 3 else None)
+    # specs derived from the actual param tree -> correct for every family
+    specs = param_specs_from_params(params, fsdp_axis="dp" if zero_stage >= 3 else None)
     with jax.set_mesh(mesh):
         teacher = shard_params(params, mesh, specs) if tc.train_kd else None
         student = teacher if teacher is not None else shard_params(params, mesh, specs)

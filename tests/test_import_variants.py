@@ -79,3 +79,114 @@ def test_sliding_window_masks_distant_tokens():
     np.testing.assert_allclose(
         np.asarray(step[0, 0]), np.asarray(win[0, 5]), rtol=2e-3, atol=2e-3
     )
+
+
+def _tiny_falcon_dir(tmp_path, rng):
+    """Synthetic falcon-7b-layout checkpoint (MQA, parallel block)."""
+    from safetensors.numpy import save_file
+    import json
+
+    d, heads, dh, L, V = 32, 4, 8, 2, 64
+    out = {
+        "transformer.word_embeddings.weight": rng.standard_normal((V, d)).astype(np.float32),
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+    }
+    qkv_ref = {}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        qkv = rng.standard_normal(((heads + 2) * dh, d)).astype(np.float32)
+        qkv_ref[i] = qkv
+        out[f"{p}.self_attention.query_key_value.weight"] = qkv
+        out[f"{p}.self_attention.dense.weight"] = rng.standard_normal((d, heads * dh)).astype(np.float32)
+        out[f"{p}.mlp.dense_h_to_4h.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        out[f"{p}.mlp.dense_4h_to_h.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        out[f"{p}.input_layernorm.weight"] = np.ones(d, np.float32)
+        out[f"{p}.input_layernorm.bias"] = np.zeros(d, np.float32)
+    save_file(out, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "falcon", "vocab_size": V, "hidden_size": d,
+            "num_hidden_layers": L, "num_attention_heads": heads,
+            "multi_query": True, "parallel_attn": True, "alibi": False,
+        }, f)
+    return qkv_ref, heads, dh
+
+
+def _tiny_mpt_dir(tmp_path, rng):
+    """Synthetic mpt-7b-layout checkpoint (ALiBi, no biases)."""
+    from safetensors.numpy import save_file
+    import json
+
+    d, heads, L, V = 32, 4, 2, 64
+    out = {
+        "transformer.wte.weight": rng.standard_normal((V, d)).astype(np.float32),
+        "transformer.norm_f.weight": np.ones(d, np.float32),
+    }
+    for i in range(L):
+        p = f"transformer.blocks.{i}"
+        out[f"{p}.attn.Wqkv.weight"] = rng.standard_normal((3 * d, d)).astype(np.float32)
+        out[f"{p}.attn.out_proj.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+        out[f"{p}.ffn.up_proj.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        out[f"{p}.ffn.down_proj.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        out[f"{p}.norm_1.weight"] = np.ones(d, np.float32)
+        out[f"{p}.norm_2.weight"] = np.ones(d, np.float32)
+    save_file(out, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "mpt", "vocab_size": V, "d_model": d,
+            "n_layers": L, "n_heads": heads, "expansion_ratio": 4,
+            "max_seq_len": 128, "attn_config": {"alibi": True},
+        }, f)
+
+
+@pytest.mark.parametrize("family", ["falcon", "mpt"])
+def test_family_import_autoclip_tp(tmp_path, family):
+    """VERDICT r1 #6 done-criterion: real HF-layout import -> autoclip ->
+    TP-sharded forward parity, per family."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitdistiller_tpu.parallel.mesh import make_mesh, param_specs_from_params, shard_params
+    from bitdistiller_tpu.quant.autoclip import clip_linears, run_autoclip
+
+    rng = np.random.default_rng(0)
+    if family == "falcon":
+        qkv_ref, heads, dh = _tiny_falcon_dir(tmp_path, rng)
+    else:
+        _tiny_mpt_dir(tmp_path, rng)
+
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, dtype="float32")  # exact TP-vs-dense compare
+    assert cfg.mlp_style == "plain" and cfg.norm_type == "layernorm"
+    if family == "falcon":
+        assert cfg.parallel_block and cfg.num_kv_heads == 1
+        # fused qkv split: q rows first, then k, then v
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["k"]["w"][0]),
+            qkv_ref[0][heads * dh : (heads + 1) * dh].T, rtol=1e-6,
+        )
+    else:
+        assert cfg.alibi and not cfg.use_rope
+
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)), jnp.int32)
+    ref_logits, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(ref_logits)).all()
+
+    # autoclip over the imported tree (plain-MLP family: no 'gate' target)
+    assert "gate" not in clip_linears(cfg)
+    calib = rng.integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    res = run_autoclip(params, cfg, calib, quant_type="int", n_bit=3,
+                       group_size=8, apply=True)
+    assert set(res["clip"][0].keys()) == set(clip_linears(cfg))
+
+    # TP-sharded forward matches unsharded (specs derived from the tree)
+    mesh = make_mesh(dp=4, tp=2)
+    specs = param_specs_from_params(params)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh, specs)
+        tp_logits = jax.jit(lambda p, t: forward(p, cfg, t)[0])(sharded, tokens)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )

@@ -105,3 +105,56 @@ def test_gemma_style_forward_and_cache():
     # same weights (norms are ones) but the offset rms + different placement
     # still yields a different function unless degenerate
     assert full.shape == plain.shape
+
+
+def test_gemma3_per_layer_sliding_pattern():
+    """Gemma-3 interleaves sliding(local-rope)/global layers; the cached
+    decode must match the full-context forward under the pattern, and the
+    sliding mask must actually cut off distant tokens on sliding layers.
+    Reference supports gemma3 via clip_utils.py:259-267."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY_GEMMA,
+        sliding_window=4,
+        sliding_layers=(True, False),  # layer 0 slides, layer 1 global
+        rope_local_theta=10000.0,
+        rope_theta=1000000.0,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.key(1), dtype=jnp.float32)
+    tokens = jnp.asarray([[3, 7, 11, 2, 9, 5, 1, 8]], jnp.int32)
+    full, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(full)).all()
+
+    # cache parity at position 7 (window 4 < context 8 exercises both modes)
+    cache = KVCache.init(cfg, 1, 16, dtype=jnp.float32)
+    _, cache = forward(params, cfg, tokens[:, :7], cache=cache, cache_pos=0)
+    step, _ = forward(params, cfg, tokens[:, 7:8], cache=cache, cache_pos=7)
+    np.testing.assert_allclose(
+        np.asarray(step[0, 0]), np.asarray(full[0, 7]), rtol=2e-4, atol=2e-4
+    )
+
+    # all-global config differs (the sliding layer changes the function)
+    cfg_global = dataclasses.replace(cfg, sliding_layers=None, sliding_window=None)
+    full_g, _ = forward(params, cfg_global, tokens)
+    assert not np.allclose(np.asarray(full), np.asarray(full_g))
+
+
+def test_gemma3_hf_config_parsing():
+    hf = {
+        "model_type": "gemma3_text", "vocab_size": 128, "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 12,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "sliding_window": 512, "sliding_window_pattern": 6,
+        "rope_theta": 1000000.0, "rope_local_base_freq": 10000.0,
+    }
+    cfg = ModelConfig.from_hf_config(hf)
+    assert cfg.sliding_layers is not None and len(cfg.sliding_layers) == 12
+    # every 6th layer global, the rest sliding
+    assert cfg.sliding_layers == tuple((i + 1) % 6 != 0 for i in range(12))
+    assert cfg.rope_local_theta == 10000.0 and cfg.rope_theta == 1000000.0
+    # newer transformers: explicit layer_types wins
+    hf["layer_types"] = ["full_attention"] * 12
+    cfg2 = ModelConfig.from_hf_config(hf)
+    assert cfg2.sliding_layers == (False,) * 12
