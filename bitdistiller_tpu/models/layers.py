@@ -135,7 +135,7 @@ def _activation(name: str):
 
 def cached_attention(
     q: jnp.ndarray,  # [B, S, Hq, D]
-    ck: jnp.ndarray,  # [B, T, Hkv, D] read-only cache
+    ck: jnp.ndarray,  # [B, Hkv, T, D] read-only cache (head-major)
     cv: jnp.ndarray,
     k_new: jnp.ndarray,  # [B, S, Hkv, D] fresh tokens
     v_new: jnp.ndarray,
@@ -146,12 +146,11 @@ def cached_attention(
     concatenated KV (a per-layer cache copy would dominate decode bandwidth).
     Only the score tensors are concatenated (tiny)."""
     b, s, hq, d = q.shape
-    t = ck.shape[1]
-    hkv = ck.shape[2]
+    hkv, t = ck.shape[1], ck.shape[2]
     rep = hq // hkv
     qg = q.reshape(b, s, hkv, rep, d)
     scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
-    sc_cache = jnp.einsum("bshrd,bthd->bhrst", qg, ck, preferred_element_type=jnp.float32) * scale
+    sc_cache = jnp.einsum("bshrd,bhtd->bhrst", qg, ck, preferred_element_type=jnp.float32) * scale
     sc_new = jnp.einsum("bshrd,bthd->bhrst", qg, k_new, preferred_element_type=jnp.float32) * scale
     scores = jnp.concatenate([sc_cache, sc_new], axis=-1)  # [B,Hkv,rep,S,T+S]
     if bias is not None:
@@ -160,7 +159,7 @@ def cached_attention(
     probs = jax.nn.softmax(scores, axis=-1)
     p_cache = probs[..., :t].astype(cv.dtype)
     p_new = probs[..., t:].astype(v_new.dtype)
-    out = jnp.einsum("bhrst,bthd->bshrd", p_cache, cv) + jnp.einsum(
+    out = jnp.einsum("bhrst,bhtd->bshrd", p_cache, cv) + jnp.einsum(
         "bhrst,bthd->bshrd", p_new, v_new
     )
     return out.reshape(b, s, hq, d)

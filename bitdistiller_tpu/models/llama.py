@@ -44,12 +44,19 @@ CLIP_SKIP = ("q", "k")
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, T, Hkv, Dh]
-    v: jnp.ndarray  # [L, B, T, Hkv, Dh]
+    """Static KV cache, head-major: [L, B, Hkv, T, D].
+
+    T is the MINOR-side dim so each (batch, head)'s cache is a contiguous
+    [T, D] plane — the decode attention kernel streams it at full HBM
+    bandwidth (the reference's FT packed-K layout [B,H,Dh/8,L,8] solves the
+    same problem for CUDA warps, ft_attention.cpp:111-181)."""
+
+    k: jnp.ndarray  # [L, B, Hkv, T, Dh]
+    v: jnp.ndarray  # [L, B, Hkv, T, Dh]
 
     @staticmethod
     def init(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.actual_head_dim)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.actual_head_dim)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -121,13 +128,14 @@ def _block(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     mask: jnp.ndarray | None,
-    cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,  # ([B,T,Hkv,Dh],)*2
+    cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,  # ([B,Hkv,T,Dh],)*2
     cache_pos,
     quantizer: Quantizer,
     causal_offset: int = 0,
     keep_kv: bool = False,
     attn_bias: jnp.ndarray | None = None,  # ALiBi [B, Hq, S, T(+S)]
     linear_fn=None,  # (name, leaf, x) -> y hook; AutoClip capture plugs in here
+    flash_args=None,  # (start [B] int32, window) -> use the Pallas decode kernel
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
@@ -159,9 +167,19 @@ def _block(
         # dominate decode bandwidth); the new tokens are written back once
         # after the scan by `forward`.
         ck, cv = cache_kv
-        attn = cached_attention(
-            q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), mask, bias=attn_bias
-        )
+        if flash_args is not None:
+            from ..ops.flash_decode import flash_decode_attention
+
+            start, window = flash_args
+            attn = flash_decode_attention(
+                q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), start,
+                window=window,
+            )
+        else:
+            attn = cached_attention(
+                q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), mask,
+                bias=attn_bias,
+            )
         new_cache = (k.astype(ck.dtype), v.astype(cv.dtype))
     else:
         attn = causal_attention(
@@ -211,11 +229,15 @@ def forward(
     remat: bool = False,
     return_kv: bool = False,  # cache-less mode: also return per-layer k/v
     logits_dtype=jnp.float32,
+    use_flash_decode: bool | None = None,  # None = auto (TPU, S=1 decode)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder. Returns (logits [B, S, V], updated cache / prompt KV).
 
     cache_pos may be a vector of per-sequence positions (continuous batching:
-    every slot decodes at its own length).
+    every slot decodes at its own length). Single-token decode on TPU routes
+    attention through the Pallas flash-decode kernel (online softmax over the
+    head-major cache, ops/flash_decode.py); everything else uses the XLA
+    two-piece attention.
     """
     b, s = tokens.shape
     compute_dtype = jnp.dtype(cfg.dtype)
@@ -245,7 +267,7 @@ def forward(
             # attention runs over [cache (read-only, T_max) ++ fresh tokens]:
             # cache slots valid strictly below cache_pos; fresh token j sits
             # at absolute position cache_pos + j and is causally visible.
-            t = cache.k.shape[2]
+            t = cache.k.shape[3]
             k_pos = jnp.arange(t)[None, None, :]  # [1, 1, T]
             start = pos_vec.reshape(-1, 1, 1) if per_slot else pos_vec.reshape(1, 1, 1)
             allow_cache = jnp.broadcast_to(k_pos < start, (b, s, t))
@@ -292,7 +314,7 @@ def forward(
         slopes = alibi_slopes(cfg.num_heads)
         q_pos = jnp.broadcast_to(positions, (b, s))
         if cache is not None:
-            t = cache.k.shape[2]
+            t = cache.k.shape[3]
             # cache rows sit at absolute positions 0..T-1; fresh token j at
             # positions[:, j] — one distance matrix over [T ++ S] keys
             k_abs = jnp.concatenate(
@@ -307,6 +329,19 @@ def forward(
     sliding_flags = (
         jnp.asarray(cfg.sliding_layers, bool) if per_layer_sliding else None
     )
+
+    # Pallas flash-decode path (ops/flash_decode.py): S=1, uniform layer
+    # mode, no ALiBi bias, no engine kv_valid override. Default OFF: on the
+    # benchmarked v5e the XLA two-piece attention over the head-major cache
+    # measures faster (633 GB/s vs 582 at T=2048, 395 vs 346 at T=256 —
+    # BENCH notes r2); the kernel is kept as a parity-tested alternative for
+    # hardware where many small einsums schedule worse.
+    if use_flash_decode is None:
+        use_flash_decode = False
+    flash_args = None
+    if use_flash_decode and cache is not None and s == 1:
+        start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
+        flash_args = (start_vec, cfg.sliding_window)
 
     def select_layer_mode(flag):
         """Pick (cos, sin, mask) for a layer by its sliding/global flag."""
@@ -337,7 +372,7 @@ def forward(
         c, si, m = select_layer_mode(flag)
         new_h, new_kv = _block(
             cfg, lp, hidden, c, si, m, (ck, cv), cache_pos, quantizer,
-            attn_bias=attn_bias,
+            attn_bias=attn_bias, flash_args=flash_args,
         )
         return new_h, new_kv
 
@@ -355,11 +390,14 @@ def forward(
             else (lp_stack, cache.k, cache.v)
         )
         h, (nk, nv) = jax.lax.scan(body, h, xs)
-        # single small write-back of the fresh tokens ([L, B, S, Hkv, Dh])
+        # single small write-back of the fresh tokens: blocks emit
+        # [L, B, S, Hkv, D] -> transpose to the cache's head-major layout
+        nk = nk.transpose(0, 1, 3, 2, 4)  # [L, B, Hkv, S, D]
+        nv = nv.transpose(0, 1, 3, 2, 4)
         if per_slot:
             # per-slot positions: scatter each batch row at its own offset
-            def upd(buf_b, new_b, p):  # [L, T, H, D], [L, S, H, D]
-                return jax.lax.dynamic_update_slice(buf_b, new_b, (0, p, 0, 0))
+            def upd(buf_b, new_b, p):  # [L, H, T, D], [L, H, S, D]
+                return jax.lax.dynamic_update_slice(buf_b, new_b, (0, 0, p, 0))
 
             vupd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
             new_cache = KVCache(
@@ -367,8 +405,8 @@ def forward(
             )
         else:
             new_cache = KVCache(
-                k=jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, cache_pos, 0, 0)),
-                v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, cache_pos, 0, 0)),
+                k=jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, 0, cache_pos, 0)),
+                v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, 0, cache_pos, 0)),
             )
 
     h = apply_norm(params["final_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)

@@ -52,6 +52,8 @@ def _pack_stacked(w, bits, group_size, bias=None, native: bool | None = None):
             jax.vmap(lambda wi: quantize_pack_linear(wi, bits, group_size))
         )(w.astype(jnp.float32))
         packed_arrays = (packed.qweight, packed.scales, packed.szeros)
+    from ..quant.packing import make_scale_combo
+
     return PackedLinear(
         qweight=packed_arrays[0],
         scales=packed_arrays[1],
@@ -61,6 +63,7 @@ def _pack_stacked(w, bits, group_size, bias=None, native: bool | None = None):
         group_size=group_size if group_size > 0 else k,
         in_features=k,
         out_features=n,
+        combo=make_scale_combo(packed_arrays[1], packed_arrays[2]),
     )
 
 
@@ -143,12 +146,15 @@ def random_packed_params(
             out[name] = (qweight, scales, szeros)
         return out
 
+    from ..quant.packing import make_scale_combo
+
     packed_arrays = mk(keys[0])
     for name, (k_dim, n_dim) in shapes.items():
         qw, sc, sz = packed_arrays[name]
         layers[name] = PackedLinear(
             qweight=qw, scales=sc, szeros=sz, bias=None,
             bits=bits, group_size=group_size, in_features=k_dim, out_features=n_dim,
+            combo=make_scale_combo(sc, sz),
         )
 
     params = {
@@ -258,14 +264,19 @@ def load_packed_checkpoint(path):
             if jnp.issubdtype(arr.dtype, jnp.floating):
                 arr = arr.astype(jnp.dtype(cfg.dtype))
             node[parts[-1]] = arr
+    from ..quant.packing import make_scale_combo
+
     for prefix, fields in packed_groups.items():
         b, g, kf, nf = (int(v) for v in fields["__meta"])
+        scales = jnp.asarray(fields["scales"])
+        szeros = jnp.asarray(fields["szeros"])
         leaf = PackedLinear(
             qweight=jnp.asarray(fields["qweight"]),
-            scales=jnp.asarray(fields["scales"]),
-            szeros=jnp.asarray(fields["szeros"]),
+            scales=scales,
+            szeros=szeros,
             bias=jnp.asarray(fields["bias"]) if "bias" in fields else None,
             bits=b, group_size=g, in_features=kf, out_features=nf,
+            combo=make_scale_combo(scales, szeros),  # derived, not stored
         )
         node = tree
         parts = prefix.split("/")

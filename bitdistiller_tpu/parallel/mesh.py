@@ -115,10 +115,10 @@ def packed_param_specs(cfg: ModelConfig) -> dict:
 
 
 def kv_cache_specs():
-    """KV cache [L, B, T, Hkv, Dh]: batch over dp, kv heads over tp."""
+    """KV cache [L, B, Hkv, T, Dh]: batch over dp, kv heads over tp."""
     from ..models.llama import KVCache
 
-    return KVCache(k=P(None, "dp", None, "tp", None), v=P(None, "dp", None, "tp", None))
+    return KVCache(k=P(None, "dp", "tp", None, None), v=P(None, "dp", "tp", None, None))
 
 
 def shard_packed_model(params, mesh: Mesh, cfg: ModelConfig):
@@ -152,6 +152,7 @@ def shard_packed_model(params, mesh: Mesh, cfg: ModelConfig):
                 qweight=put_leaf(leaf.qweight, spec),
                 scales=put_leaf(leaf.scales, spec),
                 szeros=put_leaf(leaf.szeros, spec),
+                combo=put_leaf(leaf.combo, spec),
                 bias=put_leaf(leaf.bias, P(None, spec[2]) if spec[2] else P(None, None))
                 if leaf.bias is not None
                 else None,

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qweight", "scales", "szeros", "bias"],
+    data_fields=["qweight", "scales", "szeros", "bias", "combo"],
     meta_fields=["bits", "group_size", "in_features", "out_features"],
 )
 @dataclasses.dataclass
@@ -52,10 +52,32 @@ class PackedLinear:
     group_size: int
     in_features: int
     out_features: int
+    # int32 [K // G, N]: bf16(scales) bits in the low half-word, bf16(szeros)
+    # in the high — ONE 4-byte read per group column on the decode hot path
+    # instead of two f32 reads (scale traffic is ~12% of step bytes at int2).
+    # Derived from scales/szeros; rebuilt on load when absent.
+    combo: jnp.ndarray | None = None
 
     @property
     def pack(self) -> int:
         return 32 // self.bits
+
+
+def make_scale_combo(scales: jnp.ndarray, szeros: jnp.ndarray) -> jnp.ndarray:
+    """Pack (bf16(scales), bf16(szeros)) into one int32 word per group/lane.
+
+    bf16 is a truncated f32, so the kernel recovers f32 values with a single
+    shift/mask + bitcast. bf16 scale rounding changes dequantized weights by
+    <= 2^-9 relative — see PARITY.md (deviation: reference stores fp16
+    scales, qmodule.py:70-146).
+    """
+    sb = jax.lax.bitcast_convert_type(
+        scales.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    zb = jax.lax.bitcast_convert_type(
+        szeros.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((zb << 16) | sb, jnp.int32)
 
 
 def _layout_dims(k: int, bits: int, group_size: int) -> tuple[int, int, int]:
@@ -130,15 +152,17 @@ def quantize_pack_linear(
         jnp.round(wg / scales[:, None, :]) + zeros[:, None, :], 0, max_int
     ).astype(jnp.int32)
     qweight = pack_codes(q.reshape(k, n), bits, g)
+    szeros = zeros * scales
     return PackedLinear(
         qweight=qweight,
         scales=scales,
-        szeros=zeros * scales,
+        szeros=szeros,
         bias=None if bias is None else jnp.asarray(bias),
         bits=bits,
         group_size=g,
         in_features=k,
         out_features=n,
+        combo=make_scale_combo(scales, szeros),
     )
 
 

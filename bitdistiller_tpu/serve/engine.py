@@ -107,11 +107,14 @@ class Engine:
         return last, kv  # [nb, V], KV [L, nb, S, H, D]
 
     def _insert_impl(self, cache: KVCache, kv: KVCache, slots, n_valid):
-        # kv: [L, nb, S, H, D] -> write rows [0, S) of the first n_valid slots
-        # (nb is padded to max_slots so admission-group size never recompiles);
-        # rows beyond the true prompt length hold padding junk but stay masked
-        # by the per-slot position (t < cache_pos)
+        # kv: [L, nb, S, H, D] from prefill -> transpose to the cache's
+        # head-major [L, B, H, T, D] and write rows [0, S) of the first
+        # n_valid slots (nb is padded to max_slots so admission-group size
+        # never recompiles); rows beyond the true prompt length hold padding
+        # junk but stay masked by the per-slot position (t < cache_pos)
         def upd(buf, new):
+            new = new.transpose(0, 1, 3, 2, 4)  # [L, nb, H, S, D]
+
             def one(b, i):
                 return jax.lax.dynamic_update_slice(
                     b, new[:, i].astype(b.dtype)[:, None], (0, slots[i], 0, 0, 0)

@@ -44,10 +44,19 @@ def test_qmm_interpret_with_scales():
     bits = 2
     codes = jax.random.randint(jax.random.key(0), (k, n), 0, 4)
     qw = pack_codes(codes, bits, 128)
+    # bf16-representable scales/szeros: the kernel reads them from the packed
+    # combo word (bf16 halves), so exact-comparison tests must use values the
+    # combo can represent; the rounding deviation itself is bounded in
+    # test_combo_scale_rounding_bounded
     scales = jax.random.uniform(jax.random.key(1), (k // 128, n), jnp.float32, 0.5, 2.0)
+    scales = scales.astype(jnp.bfloat16).astype(jnp.float32)
     zeros = jnp.round(jax.random.uniform(jax.random.key(2), (k // 128, n), jnp.float32, 0.0, 3.0))
-    p = PackedLinear(qweight=qw, scales=scales, szeros=zeros * scales, bias=None,
-                     bits=bits, group_size=128, in_features=k, out_features=n)
+    szeros = (zeros * scales).astype(jnp.bfloat16).astype(jnp.float32)
+    from bitdistiller_tpu.quant.packing import make_scale_combo
+
+    p = PackedLinear(qweight=qw, scales=scales, szeros=szeros, bias=None,
+                     bits=bits, group_size=128, in_features=k, out_features=n,
+                     combo=make_scale_combo(scales, szeros))
     # pre-round x to bf16 so kernel (bf16 MXU inputs) and f32 XLA reference
     # see identical values; remaining diff is accumulation order only
     x = jax.random.normal(jax.random.key(3), (m, k), jnp.float32)
@@ -71,3 +80,135 @@ def test_fused_mlp_interpret_matches_composed():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=5e-3, atol=5e-3 * float(jnp.abs(want).max())
     )
+
+
+def test_combo_scale_rounding_bounded():
+    """The decode-path combo word stores bf16 scales (vs the XLA path's f32):
+    the dequantized-weight deviation must stay within bf16 epsilon (2^-8)."""
+    from bitdistiller_tpu.quant import quantize_pack_linear
+    from bitdistiller_tpu.quant.packing import make_scale_combo
+
+    w = jax.random.normal(jax.random.key(0), (256, 128), jnp.float32)
+    p = quantize_pack_linear(w, bits=2, group_size=128)
+    assert p.combo is not None and p.combo.dtype == jnp.int32
+
+    # decode combo the way the kernel does (numpy bit twiddling)
+    cw = np.asarray(p.combo).view(np.uint32)
+    s_dec = (cw << 16).astype(np.uint32).view(np.float32)
+    sz_dec = (cw & 0xFFFF0000).view(np.float32)
+    s_ref = np.asarray(p.scales)
+    sz_ref = np.asarray(p.szeros)
+    np.testing.assert_allclose(s_dec, s_ref, rtol=2**-8)
+    # szeros can be exactly 0; compare with atol scaled by the scale
+    np.testing.assert_allclose(sz_dec, sz_ref, rtol=2**-8, atol=np.abs(s_ref).max() * 2**-8)
+
+    # and the combo builder round-trips bf16-exact inputs exactly
+    s_exact = s_ref.astype(np.float32)
+    s_exact = np.asarray(jnp.asarray(s_exact, jnp.bfloat16), np.float32)
+    combo2 = make_scale_combo(jnp.asarray(s_exact), jnp.asarray(sz_dec))
+    cw2 = np.asarray(combo2).view(np.uint32)
+    np.testing.assert_array_equal((cw2 << 16).astype(np.uint32).view(np.float32), s_exact)
+
+
+def test_qmm_k_remainder_split():
+    """K with a non-gps-multiple group count (86 groups like llama down)
+    must split into main+tail and still match the XLA reference exactly on
+    integer-valued inputs."""
+    k, n, m, bits = 128 * 11, 256, 4, 2  # 11 groups: main 8 + tail 3
+    codes = jax.random.randint(jax.random.key(0), (k, n), 0, 4)
+    qw = pack_codes(codes, bits, 128)
+    ones = jnp.ones((k // 128, n), jnp.float32)
+    from bitdistiller_tpu.quant.packing import make_scale_combo
+
+    p = PackedLinear(qweight=qw, scales=ones, szeros=ones * 0, bias=None,
+                     bits=bits, group_size=128, in_features=k, out_features=n,
+                     combo=make_scale_combo(ones, ones * 0))
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(-4, 5, (m, k)).astype(np.float32)
+    )
+    out = quant_matmul_pallas(x, p, interpret=True, groups_per_step=8)
+    want = quant_matmul_xla(x, p)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# Flash-decode attention (ops/flash_decode.py vs the XLA two-piece path)
+# ---------------------------------------------------------------------------
+
+
+def _flash_ref(q, ck, cv, k_new, v_new, start, window=None):
+    """cached_attention with the decode mask built the way forward() builds it."""
+    from bitdistiller_tpu.models.layers import cached_attention
+
+    b, _, hq, d = q.shape
+    t = ck.shape[2]
+    k_pos = jnp.arange(t)[None, None, :]
+    allow_cache = jnp.broadcast_to(k_pos < start[:, None, None], (b, 1, t))
+    allow_new = jnp.ones((b, 1, 1), bool)
+    mask = jnp.concatenate([allow_cache, allow_new], axis=-1)
+    if window is not None:
+        k_abs = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(t)[None], (b, t)), start[:, None]], axis=-1
+        )
+        mask = mask & (k_abs[:, None, :] > start[:, None, None] - window)
+    return cached_attention(q, ck, cv, k_new, v_new, mask[:, None])
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2), (4, 1)])
+def test_flash_decode_matches_xla(hq, hkv):
+    from bitdistiller_tpu.ops.flash_decode import flash_decode_attention
+
+    b, t, d = 3, 64, 128
+    keys = jax.random.split(jax.random.key(0), 6)
+    q = jax.random.normal(keys[0], (b, 1, hq, d), jnp.float32)
+    ck = jax.random.normal(keys[1], (b, hkv, t, d), jnp.float32)
+    cv = jax.random.normal(keys[2], (b, hkv, t, d), jnp.float32)
+    kn = jax.random.normal(keys[3], (b, 1, hkv, d), jnp.float32)
+    vn = jax.random.normal(keys[4], (b, 1, hkv, d), jnp.float32)
+    start = jnp.asarray([0, 17, 64], jnp.int32)  # empty / partial / full
+
+    out = flash_decode_attention(q, ck, cv, kn, vn, start, block_t=16, interpret=True)
+    want = _flash_ref(q, ck, cv, kn, vn, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_sliding_window():
+    from bitdistiller_tpu.ops.flash_decode import flash_decode_attention
+
+    b, t, d, hq = 2, 64, 128, 4
+    keys = jax.random.split(jax.random.key(1), 6)
+    q = jax.random.normal(keys[0], (b, 1, hq, d), jnp.float32)
+    ck = jax.random.normal(keys[1], (b, hq, t, d), jnp.float32)
+    cv = jax.random.normal(keys[2], (b, hq, t, d), jnp.float32)
+    kn = jax.random.normal(keys[3], (b, 1, hq, d), jnp.float32)
+    vn = jax.random.normal(keys[4], (b, 1, hq, d), jnp.float32)
+    start = jnp.asarray([40, 64], jnp.int32)
+
+    out = flash_decode_attention(
+        q, ck, cv, kn, vn, start, block_t=16, window=8, interpret=True
+    )
+    want = _flash_ref(q, ck, cv, kn, vn, start, window=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_forward_flash_flag_matches_xla_path():
+    """forward(use_flash_decode=...) parity on a tiny model (interpret-free:
+    CPU auto-disables, so force both paths and compare via interpret)."""
+    from bitdistiller_tpu.models import TINY_TEST, KVCache, forward, init_params
+
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    cache = KVCache.init(cfg, batch=2, max_len=32, dtype=jnp.float32)
+    toks = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    _, cache = forward(params, cfg, toks, cache=cache, cache_pos=0)
+    step = jnp.asarray([[9], [10]], jnp.int32)
+    pos = jnp.asarray([4, 4], jnp.int32)
+    ref, _ = forward(params, cfg, step, cache=cache, cache_pos=pos,
+                     use_flash_decode=False)
+    try:
+        out, _ = forward(params, cfg, step, cache=cache, cache_pos=pos,
+                         use_flash_decode=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+    except Exception as e:  # pallas CPU lowering unavailable -> skip
+        pytest.skip(f"pallas CPU path unavailable: {type(e).__name__}")

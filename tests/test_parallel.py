@@ -69,10 +69,14 @@ def test_per_slot_decode_positions(tiny):
     cache1 = KVCache.init(cfg, batch=2, max_len=8, dtype=jnp.float32)
     _, kv0 = forward(params, cfg, full[:1, :2], return_kv=True)
     _, kv1 = forward(params, cfg, full[1:, :3], return_kv=True)
-    k = cache1.k.at[:, 0, :2].set(kv0.k[:, 0])
-    k = k.at[:, 1, :3].set(kv1.k[:, 0])
-    v = cache1.v.at[:, 0, :2].set(kv0.v[:, 0])
-    v = v.at[:, 1, :3].set(kv1.v[:, 0])
+    # return_kv yields [L, B, S, H, D]; cache is head-major [L, B, H, T, D]
+    def hm(kv_b):  # [L, S, H, D] -> [L, H, S, D]
+        return kv_b.transpose(0, 2, 1, 3)
+
+    k = cache1.k.at[:, 0, :, :2].set(hm(kv0.k[:, 0]))
+    k = k.at[:, 1, :, :3].set(hm(kv1.k[:, 0]))
+    v = cache1.v.at[:, 0, :, :2].set(hm(kv0.v[:, 0]))
+    v = v.at[:, 1, :, :3].set(hm(kv1.v[:, 0]))
     cache1 = KVCache(k=k, v=v)
 
     next_toks = jnp.asarray([[full[0, 2]], [full[1, 3]]])
@@ -98,7 +102,7 @@ def test_kv_cache_sharding_specs(tiny):
     sharded = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )
-    assert sharded.k.sharding.spec == P(None, "dp", None, "tp", None)
+    assert sharded.k.sharding.spec == P(None, "dp", "tp", None, None)
 
 
 # ---------------------------------------------------------------------------
