@@ -4,10 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
 
 vs_baseline = measured tokens/s divided by the HBM-bandwidth roofline for the
-same step (all packed weights + scales + lm_head + KV cache read once per
-step) at the chip's published ~819 GB/s (v5e) — i.e. fraction of
+same step (packed weights + combo scale words + lm_head + KV cache read once
+per step) at the chip's published ~819 GB/s (v5e) — i.e. fraction of
 speed-of-light. The reference publishes no machine-readable decode numbers
 (BASELINE.md), so roofline fraction is the honest yardstick.
+
+The headline runs at cache length 2048 — the reference engine's serving
+context (inference/utils/constants.py max_seq_len=2048) and the regime where
+decode is genuinely HBM-bound; a cache-256 row is printed to stderr for
+continuity with round-1 numbers.
+
+Modes: decode (default) | prefill (tok/s + TTFT + MFU fields) | engine
+(continuous-batching E2E vs raw decode).
 """
 
 import argparse
@@ -24,6 +32,7 @@ from bitdistiller_tpu.models import KVCache, ModelConfig, llama
 from bitdistiller_tpu.models.quantized import random_packed_params
 
 V5E_HBM_BYTES_PER_S = 819e9
+V5E_BF16_FLOPS = 197e12
 
 
 def model_bytes_per_step(cfg: ModelConfig, bits: int, batch: int, cache_len: int) -> float:
@@ -36,47 +45,40 @@ def model_bytes_per_step(cfg: ModelConfig, bits: int, batch: int, cache_len: int
     )
     n_weights = per_layer_weights * cfg.num_layers
     qw_bytes = n_weights * bits / 8
-    scale_bytes = n_weights / 128 * 8  # f32 scales + szeros
+    scale_bytes = n_weights / 128 * 4  # one int32 combo word per group
     lm_head = d * cfg.vocab_size * 2
     kv = cfg.num_layers * batch * cache_len * cfg.num_kv_heads * dh * 2 * 2
     return qw_bytes + scale_bytes + lm_head + kv
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--cache-len", type=int, default=256)
-    ap.add_argument("--layers", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--bits", type=int, default=2)
-    ap.add_argument("--mode", choices=["decode", "prefill"], default="decode")
-    ap.add_argument("--prefill-len", type=int, default=512)
-    args = ap.parse_args()
-
-    cfg = ModelConfig(
+def make_cfg(layers: int) -> ModelConfig:
+    return ModelConfig(
         vocab_size=32000,
         hidden_size=4096,
         intermediate_size=11008,
-        num_layers=args.layers,
+        num_layers=layers,
         num_heads=32,
         num_kv_heads=32,
         max_position_embeddings=4096,
     )
-    print(f"building int{args.bits}-g128 packed model ({args.layers} layers)...", file=sys.stderr)
-    params = random_packed_params(cfg, jax.random.key(0), bits=args.bits, group_size=128)
-    cache = KVCache.init(cfg, batch=args.batch, max_len=args.cache_len, dtype=jnp.bfloat16)
 
-    # NB: no donation — on the axon relay a donated-buffer reuse error is
-    # raised asynchronously and block_until_ready() returns on the errored
-    # buffers, silently timing failed dispatches (observed: impossible
-    # 0.07ms/step). The read-only-cache forward only writes the new token
-    # rows anyway.
-    @jax.jit
+
+def bench_decode(params, cfg, args, cache_len: int, steps: int):
+    """Returns (ms_per_step, tokens_per_s, roofline_frac)."""
+    cache = KVCache.init(cfg, batch=args.batch, max_len=cache_len, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    # The cache is DONATED: at cache 2048 an undonated step must allocate a
+    # second 8.6 GB cache for the write-back (OOM) and copy the whole buffer
+    # (wrecking bandwidth). Donation is safe here because the loop rebinds
+    # `cache` every step — the round-1 relay hazard was REUSING a donated
+    # buffer, which the running checksum would expose anyway.
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill(params, cache, tokens):
         logits, cache = llama.forward(params, cfg, tokens, cache=cache, cache_pos=0)
         return logits[:, -1].argmax(-1).astype(jnp.int32), cache
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, cache, tokens, pos, acc):
         logits, cache = llama.forward(
             params, cfg, tokens[:, None], cache=cache, cache_pos=pos
@@ -88,10 +90,57 @@ def main():
         acc = acc * 1.000001 + logits[0, -1, pos % cfg.vocab_size].astype(jnp.float32)
         return tok, cache, acc
 
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, 64)), jnp.int32)
+    tok, cache = prefill(params, cache, prompt)
+    tok.block_until_ready()
+
+    pos = jnp.asarray(cache_len - steps - 8, jnp.int32)  # decode near full context
+    acc = jnp.zeros((), jnp.float32)
+    tok, cache, acc = decode_step(params, cache, tok, pos, acc)
+    for _ in range(3):  # warm + pay the relay first-transfer outside timing
+        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
+        pos = pos + 1
+    float(acc)
+
+    t0 = time.time()
+    for _ in range(steps):
+        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
+        pos = pos + 1
+    checksum = float(acc)  # forces completion of the whole step chain
+    dt = (time.time() - t0) / steps
+    print(f"  checksum {checksum:.4f}", file=sys.stderr)
+    tokens_per_s = args.batch / dt
+    roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(
+        cfg, args.bits, args.batch, cache_len
+    )
+    frac = tokens_per_s / (roofline_steps * args.batch)
+    print(
+        f"  decode cache={cache_len}: {dt*1e3:.2f} ms/step, {tokens_per_s:.1f} tok/s "
+        f"(batch {args.batch}), roofline {roofline_steps*args.batch:.1f} tok/s "
+        f"-> {frac:.3f}x",
+        file=sys.stderr,
+    )
+    return dt, tokens_per_s, frac
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cache-len", type=int, default=2048)
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--bits", type=int, default=2)
+    ap.add_argument("--mode", choices=["decode", "prefill", "engine"], default="decode")
+    ap.add_argument("--prefill-len", type=int, default=512)
+    ap.add_argument("--skip-short-row", action="store_true")
+    args = ap.parse_args()
+
+    cfg = make_cfg(args.layers)
+    print(f"building int{args.bits}-g128 packed model ({args.layers} layers)...", file=sys.stderr)
+    params = random_packed_params(cfg, jax.random.key(0), bits=args.bits, group_size=128)
     rng = np.random.default_rng(0)
 
     if args.mode == "prefill":
-        # prefill throughput + TTFT: full causal forward over the prompt
         s = args.prefill_len
         toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, s)), jnp.int32)
 
@@ -102,7 +151,7 @@ def main():
 
         acc = jnp.zeros((), jnp.float32)
         acc = prefill_only(params, toks, acc)
-        float(acc)  # compile + relay warmup
+        float(acc)
         n_iter = max(args.steps // 10, 3)
         t0 = time.time()
         for _ in range(n_iter):
@@ -110,69 +159,81 @@ def main():
         float(acc)
         dt = (time.time() - t0) / n_iter
         tput = args.batch * s / dt
-        print(
-            f"prefill: {dt*1e3:.1f} ms for [{args.batch}, {s}] -> {tput:.0f} tok/s "
-            f"(TTFT ~ {dt*1e3/args.batch:.1f} ms/seq)",
-            file=sys.stderr,
+        d = cfg.hidden_size
+        flops = 2 * args.batch * s * (
+            cfg.num_layers
+            * (4 * d * d + 3 * d * cfg.intermediate_size)
+            + d * cfg.vocab_size
         )
+        mfu = flops / dt / V5E_BF16_FLOPS
         print(json.dumps({
             "metric": f"int{args.bits}-g128 packed 7B prefill, batch {args.batch} x {s}, 1 chip",
             "value": round(tput, 1),
             "unit": "tokens/s",
-            "vs_baseline": round(dt * 1e3, 2),
+            "vs_baseline": round(mfu, 4),  # = MFU for prefill (compute-bound)
+            "ttft_ms": round(dt * 1e3 / args.batch, 2),
+            "mfu": round(mfu, 4),
         }))
         return
 
-    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, 64)), jnp.int32)
-    print("prefill + compile...", file=sys.stderr)
-    t0 = time.time()
-    tok, cache = prefill(params, cache, prompt)
-    tok.block_until_ready()
-    print(f"prefill done in {time.time()-t0:.1f}s", file=sys.stderr)
+    if args.mode == "engine":
+        from bitdistiller_tpu.serve import Engine, Request, SamplingParams
 
-    pos = jnp.asarray(64, jnp.int32)  # traced, or every step recompiles
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    tok, cache, acc = decode_step(params, cache, tok, pos, acc)
-    tok.block_until_ready()
-    print(f"decode compile in {time.time()-t0:.1f}s", file=sys.stderr)
-    pos = pos + 1
-
-    # warm + force a real value fetch (also pays the relay's first-transfer
-    # warmup outside the timed region)
-    for _ in range(3):
-        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
-        pos = pos + 1
-    print(f"warmup token sample: {np.asarray(tok)[:4]}", file=sys.stderr)
-
-    t0 = time.time()
-    for _ in range(args.steps):
-        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
-        pos = pos + 1
-    checksum = float(acc)  # forces completion of the whole step chain
-    dt = (time.time() - t0) / args.steps
-    print(f"checksum {checksum:.4f}", file=sys.stderr)
-    tokens_per_s = args.batch / dt
-
-    roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(
-        cfg, args.bits, args.batch, args.cache_len
-    )
-    vs = tokens_per_s / (roofline_steps * args.batch)
-    print(
-        f"decode: {dt*1e3:.2f} ms/step, {tokens_per_s:.1f} tok/s (batch {args.batch}), "
-        f"roofline {roofline_steps*args.batch:.1f} tok/s",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, 1 chip",
-                "value": round(tokens_per_s, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(vs, 4),
-            }
+        # raw-vs-E2E at max_len 1024: the raw baseline and the engine each
+        # hold a full cache; two 2048 caches + weights exceed one chip's HBM
+        raw_dt, raw_tps, _ = bench_decode(params, cfg, args, 1024, max(args.steps // 2, 20))
+        eng = Engine(
+            params, cfg, max_slots=args.batch, max_len=1024,
+            sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+            decode_horizon=8,
         )
-    )
+        prompts = [
+            list(rng.integers(0, cfg.vocab_size, (64,))) for _ in range(args.batch * 2)
+        ]
+        # warm EVERY executable the run will hit: admission-batch buckets
+        # {1,2,4,...,batch} and adaptive decode horizons {8,4,2,1} — a remote
+        # compile inside the timed region costs seconds on the relay
+        nb = args.batch
+        warm_sizes = []
+        while nb >= 1:
+            warm_sizes.append(nb)
+            nb //= 2
+        for nbs in warm_sizes:
+            eng.generate(prompts[:nbs], max_new_tokens=8)
+        eng.generate(prompts[:1], max_new_tokens=7)  # horizons 4, 2, 1
+        new_tokens = 128
+        t0 = time.time()
+        done = eng.run([
+            Request(prompt_tokens=p, max_new_tokens=new_tokens) for p in prompts
+        ])
+        dt = time.time() - t0
+        total = sum(len(r.output_tokens) for r in done)
+        e2e = total / dt
+        print(
+            f"  engine E2E {e2e:.1f} tok/s vs raw decode {raw_tps:.1f} "
+            f"({e2e/raw_tps:.2f}x)", file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"int{args.bits}-g128 packed 7B engine E2E, {args.batch} slots, 1 chip",
+            "value": round(e2e, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(e2e / raw_tps, 4),  # fraction of raw decode
+        }))
+        return
+
+    # decode mode — headline at the 2048-token serving context
+    if not args.skip_short_row:
+        bench_decode(params, cfg, args, 256, max(args.steps // 2, 20))  # continuity row
+    dt, tps, frac = bench_decode(params, cfg, args, args.cache_len, args.steps)
+    print(json.dumps({
+        "metric": (
+            f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, "
+            f"cache {args.cache_len}, 1 chip"
+        ),
+        "value": round(tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(frac, 4),
+    }))
 
 
 if __name__ == "__main__":

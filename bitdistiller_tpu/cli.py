@@ -111,6 +111,15 @@ def cmd_pack(args):
     print(f"packed checkpoint saved to {args.output}")
 
 
+def cmd_export_gptq(args):
+    from .models.gptq_export import export_gptq
+
+    params, cfg = _load_model(args.model_path, "float32")
+    export_gptq(params, cfg, args.output, bits=args.w_bit,
+                group_size=args.q_group_size)
+    print(f"GPTQ-format checkpoint saved to {args.output}")
+
+
 def cmd_chat(args):
     import jax.numpy as jnp
 
@@ -293,6 +302,14 @@ def build_parser():
     pk.add_argument("--q_group_size", type=int, default=128)
     pk.add_argument("--output", required=True)
     pk.set_defaults(fn=cmd_pack)
+
+    gq = sub.add_parser("export_gptq",
+                        help="export to GPTQ packed format (AutoGPTQ interop)")
+    gq.add_argument("--model_path", required=True)
+    gq.add_argument("--w_bit", type=int, default=2)
+    gq.add_argument("--q_group_size", type=int, default=128)
+    gq.add_argument("--output", required=True)
+    gq.set_defaults(fn=cmd_export_gptq)
 
     ch = sub.add_parser("chat", help="interactive chat on a packed model")
     ch.add_argument("--model_path", required=True, help="tokenizer source")

@@ -38,10 +38,31 @@ def postprocess_completion(text: str) -> str:
     return text
 
 
+# Resource guard prepended to every candidate program: caps CPU time,
+# address space, file size and subprocesses, and runs from an empty temp cwd.
+# The reference routes through the human_eval package's guarded runner
+# (test/humaneval/eval.sh); model-generated code must not be able to fork-
+# bomb, fill the disk, or chew unbounded memory on the eval host.
+_GUARD = """\
+import resource as _r, os as _os, tempfile as _t
+_r.setrlimit(_r.RLIMIT_CPU, ({cpu}, {cpu}))
+_r.setrlimit(_r.RLIMIT_AS, ({mem}, {mem}))
+_r.setrlimit(_r.RLIMIT_FSIZE, (1 << 20, 1 << 20))
+try:
+    _r.setrlimit(_r.RLIMIT_NPROC, (16, 16))
+except (ValueError, OSError):
+    pass
+_os.chdir(_t.mkdtemp(prefix="humaneval_"))
+"""
+
+
 def check_correctness(problem: dict, completion: str, timeout: float = 10.0) -> bool:
-    """Run the problem's test suite against the completion in a subprocess."""
+    """Run the problem's test suite against the completion in a subprocess
+    under rlimits (CPU = timeout, 2 GiB address space, 1 MiB file writes)."""
+    guard = _GUARD.format(cpu=int(timeout), mem=2 << 30)
     program = "\n".join(
         [
+            guard,
             problem.get("prompt", "") if _needs_prompt(completion, problem) else "",
             completion,
             problem["test"],
@@ -53,7 +74,8 @@ def check_correctness(problem: dict, completion: str, timeout: float = 10.0) -> 
         path = f.name
     try:
         proc = subprocess.run(
-            [sys.executable, path], capture_output=True, timeout=timeout
+            [sys.executable, path], capture_output=True, timeout=timeout,
+            stdin=subprocess.DEVNULL,
         )
         return proc.returncode == 0
     except subprocess.TimeoutExpired:

@@ -246,6 +246,14 @@ TASK_REGISTRY: dict[str, Callable[[], list]] = {
     "winogrande": _winogrande_docs,
     "boolq": _boolq_docs,
 }
+
+# Per-task metric lists, matching the lm-eval fork's task definitions:
+# winogrande/boolq report acc only (winogrande's per-choice contexts share
+# one continuation, so length-normalization would degenerate to acc).
+TASK_METRICS: dict[str, tuple] = {
+    "winogrande": ("acc",),
+    "boolq": ("acc",),
+}
 for _subj in MMLU_SUBJECTS:
     TASK_REGISTRY[f"hendrycksTest-{_subj}"] = (
         lambda s=_subj: _mmlu_docs(s)
@@ -294,7 +302,11 @@ def run_tasks(ll_fn, task_names: Sequence[str], limit=None) -> dict:
             for s in subs:
                 results[s] = evaluate_task(ll_fn, TASK_REGISTRY[s](), limit)
         else:
-            results[name] = evaluate_task(ll_fn, TASK_REGISTRY[name](), limit)
+            res = evaluate_task(ll_fn, TASK_REGISTRY[name](), limit)
+            metrics = TASK_METRICS.get(name)
+            if metrics is not None:
+                res = {k: v for k, v in res.items() if k in metrics or k == "n"}
+            results[name] = res
     summary = dict(results)
     mmlu = [v["acc"] for k, v in results.items() if k.startswith("hendrycksTest-")]
     if mmlu:

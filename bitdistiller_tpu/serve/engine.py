@@ -96,7 +96,11 @@ class Engine:
         self.horizon = max(decode_horizon, 1)
 
         self._prefill = jax.jit(self._prefill_impl)
-        self._decode = jax.jit(self._decode_impl, static_argnames=("steps",))
+        # cache donated: in-place KV update (an undonated step would copy —
+        # and at max_len 2048 double-allocate — the multi-GB cache)
+        self._decode = jax.jit(
+            self._decode_impl, static_argnames=("steps",), donate_argnums=(1,)
+        )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
 
     # -- jitted pieces ------------------------------------------------------
@@ -162,7 +166,13 @@ class Engine:
         # max_len would silently clamp in dynamic_update_slice)
         plens = [min(len(r.prompt_tokens), self.max_len - 1) for r in reqs]
         bucket = next(b for b in self.buckets if b >= max(plens))
-        nb = self.max_slots  # fixed batch: one compile per bucket, not per group
+        # admission batch rounded to a power-of-two bucket: prefill compute
+        # scales with the group instead of always paying max_slots rows
+        # (compiles bounded: one per (len-bucket, nb-bucket) pair)
+        nb = 1
+        while nb < len(reqs):
+            nb *= 2
+        nb = min(nb, self.max_slots)
         padded = np.zeros((nb, bucket), np.int32)
         last_idx = np.zeros(nb, np.int32)
         slot_arr = np.zeros(nb, np.int32)
@@ -242,9 +252,10 @@ class Engine:
                         pending -= 1
             if not self.active.any():
                 continue
-            # cache-overflow guard: a slot that can't fit a full horizon ends
+            # cache-overflow guard: a slot without room for even ONE more
+            # token ends (slots near the end instead shrink the horizon below)
             for i in range(self.max_slots):
-                if self.active[i] and self.lengths[i] + self.horizon >= self.max_len:
+                if self.active[i] and self.lengths[i] + 1 >= self.max_len:
                     req = self.slot_req[i]
                     req.finished = True
                     req.finish_reason = "length"
@@ -254,8 +265,23 @@ class Engine:
                     pending -= 1
             if not self.active.any():
                 continue
-            # decode `horizon` steps for everyone, one host sync
+            # decode up to `horizon` steps for everyone, one host sync.
+            # Adaptive: if some active slot's token budget runs out sooner,
+            # shrink to the largest power-of-two horizon that fits — a slot
+            # finishing mid-horizon wastes every remaining step (EOS is
+            # unpredictable, the max_new budget is not). Power-of-two only,
+            # so compiles stay bounded.
+            min_rem = min(
+                self.slot_req[i].max_new_tokens - len(self.slot_req[i].output_tokens)
+                for i in range(self.max_slots)
+                if self.active[i]
+            )
+            headroom = self.max_len - 1 - int(
+                max(self.lengths[i] for i in range(self.max_slots) if self.active[i])
+            )
             steps = self.horizon
+            while steps > 1 and (steps > min_rem or steps > headroom):
+                steps //= 2
             t0 = time.time()
             self.key, sub = jax.random.split(self.key)
             toks, self.cache, self.prev_tokens = self._decode(

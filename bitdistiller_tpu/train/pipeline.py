@@ -185,6 +185,16 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         micro_step = 0
         logs = []
         eval_step_fn = None  # built lazily, once, on first eval
+        # per-step scalar metrics file (reference: --report_to tensorboard
+        # --logging_steps 1, scripts/train/train.sh:47-48) — JSONL, one line
+        # per logged step, written by process 0 only
+        metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+        os.makedirs(args.output_dir, exist_ok=True)
+        metrics_f = (
+            open(metrics_path, "a", buffering=1)
+            if jax.process_index() == 0
+            else None
+        )
         t0 = time.time()
         for epoch in range(args.num_train_epochs):
             for batch in data_loader(
@@ -201,6 +211,16 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                         "step %d/%d loss %.4f (%.2fs/step)",
                         micro_step, total_micro, loss, (time.time() - t0) / micro_step,
                     )
+                    if metrics_f is not None:
+                        import json as _json
+
+                        metrics_f.write(_json.dumps({
+                            "step": micro_step,
+                            "epoch": epoch,
+                            "loss": loss,
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "seconds_per_step": (time.time() - t0) / micro_step,
+                        }) + "\n")
                 if args.save_steps and micro_step % args.save_steps == 0:
                     save_checkpoint(args.output_dir, micro_step, state)
                 if (args.eval_steps and micro_step % args.eval_steps == 0
@@ -216,6 +236,8 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         final = jax.tree_util.tree_map(
             lambda x: np.asarray(x, dtype=np.float32), state.params
         )
+        if metrics_f is not None:
+            metrics_f.close()
         save_hf_checkpoint(final, cfg, args.output_dir)
         logger.info("saved final model to %s", args.output_dir)
         return {"final_loss": logs[-1] if logs else None, "steps": micro_step}
