@@ -199,8 +199,23 @@ def cmd_eval(args):
         name = args.quant_type if args.quant_type != "int" else f"int{args.w_bit}-asym"
         q = make_fake_quantizer(name, args.q_group_size)
         quantizer = lambda w: q(w.T).T
-    fn = LogLikelihoodFn(params, cfg, tok, quantizer=quantizer, batch_size=args.batch_size)
-    results = run_tasks(fn, args.tasks.split(","), limit=args.limit)
+    tasks = args.tasks.split(",")
+    results = {}
+    if "wikitext" in tasks:
+        # wikitext inside the task list (lm-eval fork parity): the same
+        # seqlen-2048 block PPL as `cli ppl` (wiki_ppl.py:46-137 math)
+        tasks.remove("wikitext")
+        from .eval.ppl import load_wikitext2_test, perplexity, prepare_blocks
+
+        blocks = prepare_blocks(load_wikitext2_test(tok), 2048)
+        results["wikitext"] = {
+            "ppl": perplexity(params, cfg, blocks, quantizer=quantizer,
+                              batch_size=args.batch_size)
+        }
+    if tasks:
+        fn = LogLikelihoodFn(params, cfg, tok, quantizer=quantizer,
+                             batch_size=args.batch_size)
+        results.update(run_tasks(fn, tasks, limit=args.limit))
     print(json.dumps(results, indent=2, default=float))
 
 

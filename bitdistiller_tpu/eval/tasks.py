@@ -254,6 +254,14 @@ TASK_METRICS: dict[str, tuple] = {
     "winogrande": ("acc",),
     "boolq": ("acc",),
 }
+
+# Split-preference parity note: the reference's vendored lm-eval plumbs a
+# test_set=True flag that prefers test docs where a LABELED test split
+# exists (evaluator.py:33,117,225). That preference is this registry's
+# DEFAULT: arc_easy/arc_challenge and every hendrycksTest-* subject load
+# their labeled test splits; hellaswag/piqa/winogrande/boolq have unlabeled
+# hub test splits and use validation — the same fallback the reference's
+# has_test_docs()/has_validation_docs() checks produce.
 for _subj in MMLU_SUBJECTS:
     TASK_REGISTRY[f"hendrycksTest-{_subj}"] = (
         lambda s=_subj: _mmlu_docs(s)

@@ -48,6 +48,13 @@ class ModelConfig:
     # mpt-style: ALiBi position bias instead of rotary embeddings
     alibi: bool = False
     use_rope: bool = True
+    # opt-style: learned absolute position embeddings (+offset into the table)
+    learned_pos_embeddings: bool = False
+    pos_embedding_offset: int = 0
+    # opt-style: bias on the attention output projection too
+    attention_out_bias: bool = False
+    # bloom-style: LayerNorm applied to the token embeddings
+    embedding_norm: bool = False
     # mlp style: "gated" (llama gate*up) | "plain" (falcon/mpt up->act->down)
     mlp_style: str = "gated"
     # "rms" (llama) | "layernorm" (falcon/mpt, mean-subtracting with bias)
@@ -97,6 +104,49 @@ class ModelConfig:
                 alibi=alibi,
                 use_rope=not alibi,
                 hidden_act="gelu",
+                mlp_style="plain",
+                norm_type="layernorm",
+            )
+        if model_type == "opt":
+            return ModelConfig(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg.get("ffn_dim", 4 * cfg["hidden_size"]),
+                num_layers=cfg["num_hidden_layers"],
+                num_heads=cfg["num_attention_heads"],
+                num_kv_heads=cfg["num_attention_heads"],
+                rms_norm_eps=1e-5,
+                max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                use_rope=False,
+                learned_pos_embeddings=True,
+                pos_embedding_offset=2,  # OPT's historical +2 table offset
+                attention_bias=cfg.get("enable_bias", True),
+                attention_out_bias=cfg.get("enable_bias", True),
+                mlp_bias=cfg.get("enable_bias", True),
+                hidden_act=cfg.get("activation_function", "relu"),
+                mlp_style="plain",
+                norm_type="layernorm",
+            )
+        if model_type == "bloom":
+            d = cfg.get("hidden_size", cfg.get("n_embed"))
+            return ModelConfig(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=d,
+                intermediate_size=4 * d,
+                num_layers=cfg.get("num_hidden_layers", cfg.get("n_layer")),
+                num_heads=cfg.get("num_attention_heads", cfg.get("n_head")),
+                num_kv_heads=cfg.get("num_attention_heads", cfg.get("n_head")),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                max_position_embeddings=2048,
+                tie_word_embeddings=True,
+                alibi=True,
+                use_rope=False,
+                embedding_norm=True,
+                attention_bias=True,
+                attention_out_bias=True,
+                mlp_bias=True,
+                hidden_act="gelu_tanh",  # BloomGelu is the tanh approximation
                 mlp_style="plain",
                 norm_type="layernorm",
             )

@@ -182,17 +182,134 @@ def _load_mpt(raw: dict, cfg: ModelConfig, dtype):
     }
 
 
+def _load_opt(raw: dict, cfg: ModelConfig, dtype):
+    """OPT checkpoints (facebook/opt-* layout; reference clip_utils get_blocks
+    OPTForCausalLM branch). Learned positions table kept with its +2 offset;
+    biases on every projection and norm."""
+    L = cfg.num_layers
+
+    def t(name):
+        key = f"model.decoder.{name}"
+        if key not in raw:
+            key = f"decoder.{name}"
+        return raw[key]
+
+    def stack(fn):
+        return jnp.asarray(np.stack([np.ascontiguousarray(fn(i)) for i in range(L)])).astype(dtype)
+
+    def linear(name):
+        leaf = {"w": stack(lambda i: t(f"layers.{i}.{name}.weight").T)}
+        if f"model.decoder.layers.0.{name}.bias" in raw or f"decoder.layers.0.{name}.bias" in raw:
+            leaf["b"] = stack(lambda i: t(f"layers.{i}.{name}.bias"))
+        return leaf
+
+    def norm(name):
+        return {
+            "w": stack(lambda i: t(f"layers.{i}.{name}.weight")),
+            "b": stack(lambda i: t(f"layers.{i}.{name}.bias")),
+        }
+
+    layers = {
+        "input_norm": norm("self_attn_layer_norm"),
+        "post_attn_norm": norm("final_layer_norm"),
+        "q": linear("self_attn.q_proj"),
+        "k": linear("self_attn.k_proj"),
+        "v": linear("self_attn.v_proj"),
+        "o": linear("self_attn.out_proj"),
+        "up": linear("fc1"),
+        "down": linear("fc2"),
+    }
+    params = {
+        "embed": jnp.asarray(t("embed_tokens.weight")).astype(dtype),
+        "pos_embed": jnp.asarray(t("embed_positions.weight")).astype(dtype),
+        "final_norm": {
+            "w": jnp.asarray(t("final_layer_norm.weight")).astype(dtype),
+            "b": jnp.asarray(t("final_layer_norm.bias")).astype(dtype),
+        },
+        "layers": layers,
+    }
+    return params
+
+
+def _load_bloom(raw: dict, cfg: ModelConfig, dtype):
+    """Bloom checkpoints (bigscience/bloom-* layout; reference clip_utils
+    get_blocks BloomForCausalLM branch). The fused query_key_value is
+    PER-HEAD interleaved [H, 3, dh, K] — split accordingly."""
+    L = cfg.num_layers
+    H, dh = cfg.num_heads, cfg.actual_head_dim
+
+    def stack(fn):
+        return jnp.asarray(np.stack([np.ascontiguousarray(fn(i)) for i in range(L)])).astype(dtype)
+
+    def norm(prefix):
+        return {
+            "w": stack(lambda i: raw[f"transformer.h.{i}.{prefix}.weight"]),
+            "b": stack(lambda i: raw[f"transformer.h.{i}.{prefix}.bias"]),
+        }
+
+    def qkv_part(i, which):  # which: 0=q, 1=k, 2=v
+        w = raw[f"transformer.h.{i}.self_attention.query_key_value.weight"]
+        return w.reshape(H, 3, dh, -1)[:, which].reshape(H * dh, -1).T  # [K, H*dh]
+
+    def qkv_bias(i, which):
+        b = raw[f"transformer.h.{i}.self_attention.query_key_value.bias"]
+        return b.reshape(H, 3, dh)[:, which].reshape(H * dh)
+
+    def lin(wfn, bfn=None):
+        leaf = {"w": stack(wfn)}
+        if bfn is not None:
+            leaf["b"] = stack(bfn)
+        return leaf
+
+    layers = {
+        "input_norm": norm("input_layernorm"),
+        "post_attn_norm": norm("post_attention_layernorm"),
+        "q": lin(lambda i: qkv_part(i, 0), lambda i: qkv_bias(i, 0)),
+        "k": lin(lambda i: qkv_part(i, 1), lambda i: qkv_bias(i, 1)),
+        "v": lin(lambda i: qkv_part(i, 2), lambda i: qkv_bias(i, 2)),
+        "o": lin(
+            lambda i: raw[f"transformer.h.{i}.self_attention.dense.weight"].T,
+            lambda i: raw[f"transformer.h.{i}.self_attention.dense.bias"],
+        ),
+        "up": lin(
+            lambda i: raw[f"transformer.h.{i}.mlp.dense_h_to_4h.weight"].T,
+            lambda i: raw[f"transformer.h.{i}.mlp.dense_h_to_4h.bias"],
+        ),
+        "down": lin(
+            lambda i: raw[f"transformer.h.{i}.mlp.dense_4h_to_h.weight"].T,
+            lambda i: raw[f"transformer.h.{i}.mlp.dense_4h_to_h.bias"],
+        ),
+    }
+    return {
+        "embed": jnp.asarray(raw["transformer.word_embeddings.weight"]).astype(dtype),
+        "embed_norm": {
+            "w": jnp.asarray(raw["transformer.word_embeddings_layernorm.weight"]).astype(dtype),
+            "b": jnp.asarray(raw["transformer.word_embeddings_layernorm.bias"]).astype(dtype),
+        },
+        "final_norm": {
+            "w": jnp.asarray(raw["transformer.ln_f.weight"]).astype(dtype),
+            "b": jnp.asarray(raw["transformer.ln_f.bias"]).astype(dtype),
+        },
+        "layers": layers,
+    }
+
+
 def load_hf_checkpoint(path: str, cfg: ModelConfig | None = None, dtype=jnp.bfloat16):
     """Load an HF checkpoint dir -> (params, cfg). Families: llama/tinyllama,
-    qwen2/3, phi3 (fused qkv), gemma2/3, falcon, mpt."""
+    qwen2/3, phi3 (fused qkv), gemma2/3, falcon, mpt, opt, bloom — the
+    reference's full get_blocks registry (clip_utils.py:234-290)."""
     if cfg is None:
         cfg = ModelConfig.from_pretrained(path)
     raw = _load_all_tensors(path)
 
     if any(k.startswith("transformer.blocks.") for k in raw):
         return _load_mpt(raw, cfg, dtype), cfg
+    if "transformer.word_embeddings_layernorm.weight" in raw:
+        return _load_bloom(raw, cfg, dtype), cfg
     if any(k.startswith("transformer.h.") for k in raw):
         return _load_falcon(raw, cfg, dtype), cfg
+    if any("decoder.layers." in k for k in raw):
+        return _load_opt(raw, cfg, dtype), cfg
 
     def get(name):
         if name in raw:

@@ -130,6 +130,8 @@ def _activation(name: str):
         return jax.nn.gelu
     if name == "gelu_tanh":
         return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
     raise ValueError(f"unknown activation {name}")
 
 

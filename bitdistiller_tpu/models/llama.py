@@ -92,7 +92,7 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         "q": lin(keys[0], d, hq * dh, cfg.attention_bias),
         "k": lin(keys[1], d, hkv * dh, cfg.attention_bias),
         "v": lin(keys[2], d, hkv * dh, cfg.attention_bias),
-        "o": lin(keys[3], hq * dh, d),
+        "o": lin(keys[3], hq * dh, d, cfg.attention_out_bias),
         "up": lin(keys[5], d, ffn, cfg.mlp_bias),
         "down": lin(keys[6], ffn, d, cfg.mlp_bias),
     }
@@ -116,6 +116,14 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         "final_norm": final_norm,
         "layers": layers,
     }
+    if cfg.learned_pos_embeddings:
+        params["pos_embed"] = dense(
+            keys[9],
+            (cfg.max_position_embeddings + cfg.pos_embedding_offset, d),
+            scale=0.02,
+        )
+    if cfg.embedding_norm:
+        params["embed_norm"] = {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"w": dense(keys[8], (d, cfg.vocab_size))}
     return params
@@ -251,6 +259,12 @@ def forward(
         positions = pos_vec[:, None] + jnp.arange(s)[None, :]  # [B, S]
     else:
         positions = (jnp.arange(s) + pos_vec)[None, :]  # [1, S]
+    if cfg.embedding_norm:  # bloom: LayerNorm on the token embeddings
+        h = apply_norm(params["embed_norm"], h, cfg.rms_norm_eps)
+    if cfg.learned_pos_embeddings:  # opt: absolute table with historic offset
+        h = h + params["pos_embed"][positions + cfg.pos_embedding_offset].astype(
+            compute_dtype
+        )
     cos, sin = rope_cos_sin(positions, cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
     # gemma2/3: sliding layers rotate with their own (local) theta
     per_layer_sliding = bool(cfg.sliding_layers) and cfg.sliding_window is not None

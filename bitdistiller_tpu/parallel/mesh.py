@@ -81,6 +81,10 @@ def param_specs_from_params(params, fsdp_axis: str | None = None) -> dict:
     }
     if "lm_head" in params:
         specs["lm_head"] = {"w": P(f, "tp")}
+    # any other top-level leaves (pos_embed, embed_norm, ...) replicate
+    for key in params:
+        if key not in specs:
+            specs[key] = jax.tree_util.tree_map(rep, params[key])
     return specs
 
 

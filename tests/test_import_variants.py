@@ -190,3 +190,119 @@ def test_family_import_autoclip_tp(tmp_path, family):
     np.testing.assert_allclose(
         np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_opt_import_and_forward(tmp_path):
+    """OPT layout: learned +2-offset positions, biases everywhere, relu MLP."""
+    from safetensors.numpy import save_file
+    import json
+
+    d, heads, L, V, maxp = 32, 4, 2, 64, 64
+    rng = np.random.default_rng(5)
+    out = {
+        "model.decoder.embed_tokens.weight": rng.standard_normal((V, d)).astype(np.float32),
+        "model.decoder.embed_positions.weight": rng.standard_normal((maxp + 2, d)).astype(np.float32),
+        "model.decoder.final_layer_norm.weight": np.ones(d, np.float32),
+        "model.decoder.final_layer_norm.bias": np.zeros(d, np.float32),
+    }
+    for i in range(L):
+        p = f"model.decoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            out[f"{p}.self_attn.{proj}.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+            out[f"{p}.self_attn.{proj}.bias"] = rng.standard_normal(d).astype(np.float32)
+        out[f"{p}.fc1.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        out[f"{p}.fc1.bias"] = rng.standard_normal(4 * d).astype(np.float32)
+        out[f"{p}.fc2.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        out[f"{p}.fc2.bias"] = rng.standard_normal(d).astype(np.float32)
+        for nrm in ("self_attn_layer_norm", "final_layer_norm"):
+            out[f"{p}.{nrm}.weight"] = np.ones(d, np.float32)
+            out[f"{p}.{nrm}.bias"] = np.zeros(d, np.float32)
+    save_file(out, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "opt", "vocab_size": V, "hidden_size": d,
+            "ffn_dim": 4 * d, "num_hidden_layers": L,
+            "num_attention_heads": heads, "max_position_embeddings": maxp,
+        }, f)
+
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, dtype="float32")
+    assert cfg.learned_pos_embeddings and cfg.pos_embedding_offset == 2
+    assert cfg.hidden_act == "relu" and not cfg.use_rope
+    assert params["pos_embed"].shape == (maxp + 2, d)
+    assert "b" in params["layers"]["o"]
+
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    full, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(full)).all()
+    # positions matter: shifting the start position changes logits
+    from bitdistiller_tpu.models import KVCache
+
+    cache = KVCache.init(cfg, 1, 16, dtype=jnp.float32)
+    _, cache = forward(params, cfg, tokens[:, :4], cache=cache, cache_pos=0)
+    step, _ = forward(params, cfg, tokens[:, 4:5], cache=cache, cache_pos=4)
+    np.testing.assert_allclose(
+        np.asarray(step[0, 0]), np.asarray(full[0, 4]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bloom_import_qkv_interleave(tmp_path):
+    """Bloom's fused query_key_value is per-head interleaved [H, 3, dh, K]."""
+    from safetensors.numpy import save_file
+    import json
+
+    d, heads, L, V = 32, 4, 2, 64
+    dh = d // heads
+    rng = np.random.default_rng(6)
+    out = {
+        "transformer.word_embeddings.weight": rng.standard_normal((V, d)).astype(np.float32),
+        "transformer.word_embeddings_layernorm.weight": np.ones(d, np.float32),
+        "transformer.word_embeddings_layernorm.bias": np.zeros(d, np.float32),
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+    }
+    qkv_ref = {}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        qkv = rng.standard_normal((3 * d, d)).astype(np.float32)
+        qkv_b = rng.standard_normal(3 * d).astype(np.float32)
+        qkv_ref[i] = (qkv, qkv_b)
+        out[f"{p}.self_attention.query_key_value.weight"] = qkv
+        out[f"{p}.self_attention.query_key_value.bias"] = qkv_b
+        out[f"{p}.self_attention.dense.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+        out[f"{p}.self_attention.dense.bias"] = rng.standard_normal(d).astype(np.float32)
+        out[f"{p}.mlp.dense_h_to_4h.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        out[f"{p}.mlp.dense_h_to_4h.bias"] = rng.standard_normal(4 * d).astype(np.float32)
+        out[f"{p}.mlp.dense_4h_to_h.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        out[f"{p}.mlp.dense_4h_to_h.bias"] = rng.standard_normal(d).astype(np.float32)
+        for nrm in ("input_layernorm", "post_attention_layernorm"):
+            out[f"{p}.{nrm}.weight"] = np.ones(d, np.float32)
+            out[f"{p}.{nrm}.bias"] = np.zeros(d, np.float32)
+    save_file(out, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "bloom", "vocab_size": V, "hidden_size": d,
+            "n_layer": L, "n_head": heads,
+        }, f)
+
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, dtype="float32")
+    assert cfg.alibi and cfg.embedding_norm and cfg.hidden_act == "gelu_tanh"
+    # per-head interleave: head h's K rows are qkv[h*3*dh + dh : h*3*dh + 2*dh]
+    qkv0, qkv_b0 = qkv_ref[0]
+    want_k = np.concatenate(
+        [qkv0[h * 3 * dh + dh : h * 3 * dh + 2 * dh] for h in range(heads)]
+    ).T
+    np.testing.assert_allclose(np.asarray(params["layers"]["k"]["w"][0]), want_k, rtol=1e-6)
+    want_kb = np.concatenate(
+        [qkv_b0[h * 3 * dh + dh : h * 3 * dh + 2 * dh] for h in range(heads)]
+    )
+    np.testing.assert_allclose(np.asarray(params["layers"]["k"]["b"][0]), want_kb, rtol=1e-6)
+
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    logits, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(logits)).all()
