@@ -83,11 +83,12 @@ class Engine:
         self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
         self.key = jax.random.key(seed)
 
-        # host-side slot state
+        # host-side slot state (cur_tokens stays ON DEVICE: admission writes
+        # the first sampled token into it without a host round-trip)
         self.slot_req: list[Optional[Request]] = [None] * max_slots
         self.lengths = np.zeros(max_slots, np.int32)
         self.active = np.zeros(max_slots, bool)
-        self.cur_tokens = np.zeros(max_slots, np.int32)
+        self.cur_tokens = jnp.zeros(max_slots, jnp.int32)
         self.buckets = _buckets(max_len)
         # decode `horizon` steps per jitted call, one host sync per horizon —
         # per-step device->host syncs dominate otherwise (measured ~5x
@@ -191,23 +192,23 @@ class Engine:
         # request's recent tokens
         admit_idx = jnp.asarray(slot_arr[: len(reqs)])
         self.prev_tokens = self.prev_tokens.at[admit_idx].set(-1)
-        # first sampled token from prompt logits
+        # first sampled token from prompt logits — kept ON DEVICE: run() reads
+        # it together with the next decode horizon in one host sync (a sync
+        # here would stall the decode dispatch behind prefill)
         self.key, sub = jax.random.split(self.key)
-        firsts = np.asarray(
-            sample_tokens(sub, last_logits, self.sampling, self.prev_tokens[slot_arr])
-        )
+        firsts = sample_tokens(
+            sub, last_logits, self.sampling, self.prev_tokens[slot_arr]
+        )[: len(reqs)]
         # the first token joins the window so decode's penalty sees it
-        self.prev_tokens = self.prev_tokens.at[admit_idx, -1].set(
-            jnp.asarray(firsts[: len(reqs)], jnp.int32)
-        )
+        self.prev_tokens = self.prev_tokens.at[admit_idx, -1].set(firsts)
+        self.cur_tokens = self.cur_tokens.at[admit_idx].set(firsts)
         dt = time.time() - t0
-        for i, (req, slot, plen) in enumerate(zip(reqs, slots, plens)):
+        for req, slot, plen in zip(reqs, slots, plens):
             req.prefill_time = dt
             self.slot_req[slot] = req
             self.lengths[slot] = plen
             self.active[slot] = True
-            self.cur_tokens[slot] = firsts[i]
-            self._emit(slot, int(firsts[i]))
+        return firsts
 
     def _emit(self, slot: int, token: int):
         req = self.slot_req[slot]
@@ -242,20 +243,27 @@ class Engine:
                 admit_reqs.append(queue.pop(0))
                 admit_slots.append(slot)
                 self.active[slot] = True  # reserve while gathering
+            firsts_dev = None
             if admit_reqs:
                 for s in admit_slots:
                     self.active[s] = False  # _admit_group re-activates
-                self._admit_group(admit_reqs, admit_slots)
-                for req in admit_reqs:
-                    if req.finished:
-                        done.append(req)
-                        pending -= 1
+                # prefill/insert/sample are DISPATCHED but not synced: the
+                # decode horizon below queues right behind them and a single
+                # host read at the end collects first tokens + horizon tokens
+                firsts_dev = self._admit_group(admit_reqs, admit_slots)
             if not self.active.any():
                 continue
             # cache-overflow guard: a slot without room for even ONE more
-            # token ends (slots near the end instead shrink the horizon below)
+            # token ends (slots near the end instead shrink the horizon
+            # below). Newly admitted slots are skipped — their first token is
+            # still pending; the next round's guard catches them.
+            pending_first = set(admit_slots) if admit_reqs else set()
             for i in range(self.max_slots):
-                if self.active[i] and self.lengths[i] + 1 >= self.max_len:
+                if (
+                    self.active[i]
+                    and i not in pending_first
+                    and self.lengths[i] + 1 >= self.max_len
+                ):
                     req = self.slot_req[i]
                     req.finished = True
                     req.finish_reason = "length"
@@ -272,7 +280,9 @@ class Engine:
             # unpredictable, the max_new budget is not). Power-of-two only,
             # so compiles stay bounded.
             min_rem = min(
-                self.slot_req[i].max_new_tokens - len(self.slot_req[i].output_tokens)
+                self.slot_req[i].max_new_tokens
+                - len(self.slot_req[i].output_tokens)
+                - (1 if i in pending_first else 0)
                 for i in range(self.max_slots)
                 if self.active[i]
             )
@@ -280,28 +290,44 @@ class Engine:
                 max(self.lengths[i] for i in range(self.max_slots) if self.active[i])
             )
             steps = self.horizon
-            while steps > 1 and (steps > min_rem or steps > headroom):
+            while steps > 1 and (steps > max(min_rem, 1) or steps > headroom):
                 steps //= 2
+            dispatch_active = self.active.copy()
             t0 = time.time()
             self.key, sub = jax.random.split(self.key)
             toks, self.cache, self.prev_tokens = self._decode(
                 self.params,
                 self.cache,
-                jnp.asarray(self.cur_tokens),
+                self.cur_tokens,
                 jnp.asarray(self.lengths),
-                jnp.asarray(self.active),
+                jnp.asarray(dispatch_active),
                 self.prev_tokens,
                 sub,
                 steps=steps,
             )
+            self.cur_tokens = toks[-1]  # device-side, no sync
+            # THE host sync of this round: first tokens + horizon tokens
+            if firsts_dev is not None:
+                firsts_np = np.asarray(firsts_dev)
             toks_np = np.asarray(toks)  # [steps, B]
             dt = time.time() - t0
+            if admit_reqs:
+                for t_val, slot in zip(firsts_np, admit_slots):
+                    self._emit(slot, int(t_val))
+                for req in admit_reqs:
+                    if req.finished:
+                        done.append(req)
+                        pending -= 1
             for i in range(self.max_slots):
-                if not self.active[i]:
+                if not dispatch_active[i]:
+                    continue
+                req = self.slot_req[i]
+                if req is None or req.finished:
+                    # finished by its own first token: the horizon tokens for
+                    # this slot are overshoot — drop them (cache junk is
+                    # masked on slot reuse by the per-slot start position)
                     continue
                 self.lengths[i] += steps
-                self.cur_tokens[i] = toks_np[-1, i]
-                req = self.slot_req[i]
                 emitted = 0
                 for h in range(steps):
                     emitted += 1

@@ -147,8 +147,8 @@ def test_rep_penalty_window_resets_on_slot_reuse(tiny_engine):
     req = __import__("bitdistiller_tpu.serve.engine", fromlist=["Request"]).Request(
         prompt_tokens=[5, 6], max_new_tokens=1
     )
-    eng._admit_group([req], [0])
+    firsts = np.asarray(eng._admit_group([req], [0]))
     window = np.asarray(eng.prev_tokens[0])
     # all but the newly appended first token must be cleared to -1
     assert (window[:-1] == -1).all(), window
-    assert window[-1] == req.output_tokens[0]
+    assert window[-1] == firsts[0]
