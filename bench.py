@@ -185,7 +185,7 @@ def main():
         eng = Engine(
             params, cfg, max_slots=args.batch, max_len=1024,
             sampling=SamplingParams(temperature=0.0), eos_token_id=None,
-            decode_horizon=8,
+            decode_horizon=16,
         )
         prompts = [
             list(rng.integers(0, cfg.vocab_size, (64,))) for _ in range(args.batch * 2)
@@ -199,8 +199,9 @@ def main():
             warm_sizes.append(nb)
             nb //= 2
         for nbs in warm_sizes:
-            eng.generate(prompts[:nbs], max_new_tokens=8)
-        eng.generate(prompts[:1], max_new_tokens=7)  # horizons 4, 2, 1
+            # max_new > horizon so the FULL-horizon executable compiles too
+            eng.generate(prompts[:nbs], max_new_tokens=eng.horizon + 1)
+        eng.generate(prompts[:1], max_new_tokens=eng.horizon - 1)  # tail horizons
         new_tokens = 128
         t0 = time.time()
         done = eng.run([

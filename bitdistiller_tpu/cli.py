@@ -351,6 +351,10 @@ def build_parser():
     gen.add_argument("--max_batch", type=int, default=8)
     gen.add_argument("--max_seq_len", type=int, default=2048)
     gen.add_argument("--seed", type=int, default=42)
+    gen.add_argument("--coordinator_address", default=None,
+                     help="host:port of process 0 for multi-host generation")
+    gen.add_argument("--num_processes", type=int, default=None)
+    gen.add_argument("--process_id", type=int, default=None)
     gen.set_defaults(fn=cmd_generate)
 
     ev = sub.add_parser("eval", help="task accuracy eval (mmlu/arc/hellaswag/...)")

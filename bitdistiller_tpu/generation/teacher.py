@@ -21,6 +21,15 @@ from .datasets import PROMPT_STYLES, get_gen_prompts, style_for_dataset
 
 
 def run_teacher_generation(args, *, tokenizer=None, model=None) -> str:
+    # multi-host rendezvous (torchrun init_process_group parity,
+    # generate.py:150); all-None args = single process / TPU auto-detect
+    from ..parallel.distributed import init_distributed
+
+    init_distributed(
+        getattr(args, "coordinator_address", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
     if tokenizer is None:
         from transformers import AutoTokenizer
 

@@ -148,3 +148,20 @@ def test_trainer_quantizer_grid_matches_cli_and_pack(setup):
     wg = w.T.reshape(-1, w.shape[0] // tc.q_group_size, tc.q_group_size)
     params = asym_quant_params(wg, tc.bits)
     assert params.scales.shape == (32, 128 // tc.q_group_size)
+
+
+def test_nf3_kd_train_step(setup):
+    """ste-n2f3 QAT path end-to-end through the KD step (grid + gradients)."""
+    cfg, teacher, student, _, batch = setup
+    tc = TrainConfig(
+        quant_type="ste-n2f3", q_group_size=64, kd_loss_type="cakld",
+        learning_rate=1e-3, total_steps=4, gradient_checkpointing=True,
+    )
+    state = init_train_state(student, tc)
+    step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher))
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch, jnp.asarray(0.5))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
