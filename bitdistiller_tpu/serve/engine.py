@@ -83,12 +83,17 @@ class Engine:
         self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
         self.key = jax.random.key(seed)
 
-        # host-side slot state (cur_tokens stays ON DEVICE: admission writes
-        # the first sampled token into it without a host round-trip)
+        # host-side slot state. cur_tokens/lengths/active keep DEVICE mirrors:
+        # admission writes first tokens on device, the per-horizon length
+        # advance is a device add, and `active` uploads only when it changes —
+        # per-round host->device puts are latency on remote attachments.
         self.slot_req: list[Optional[Request]] = [None] * max_slots
         self.lengths = np.zeros(max_slots, np.int32)
         self.active = np.zeros(max_slots, bool)
         self.cur_tokens = jnp.zeros(max_slots, jnp.int32)
+        self._lengths_dev = jnp.zeros(max_slots, jnp.int32)
+        self._active_dev = jnp.zeros(max_slots, bool)
+        self._active_dirty = True
         self.buckets = _buckets(max_len)
         # decode `horizon` steps per jitted call, one host sync per horizon —
         # per-step device->host syncs dominate otherwise (measured ~5x
@@ -202,6 +207,12 @@ class Engine:
         # the first token joins the window so decode's penalty sees it
         self.prev_tokens = self.prev_tokens.at[admit_idx, -1].set(firsts)
         self.cur_tokens = self.cur_tokens.at[admit_idx].set(firsts)
+        # device mirrors: lengths/active for the admitted slots (one tiny
+        # upload per admission, none per decode round)
+        self._lengths_dev = self._lengths_dev.at[admit_idx].set(
+            jnp.asarray(plens, jnp.int32)
+        )
+        self._active_dev = self._active_dev.at[admit_idx].set(True)
         dt = time.time() - t0
         for req, slot, plen in zip(reqs, slots, plens):
             req.prefill_time = dt
@@ -226,6 +237,7 @@ class Engine:
                 "stop" if (self.eos is not None and token == self.eos) else "length"
             )
             self.active[slot] = False
+            self._active_dirty = True
             self.slot_req[slot] = None
 
     def run(self, requests: Iterable[Request]) -> list[Request]:
@@ -268,6 +280,7 @@ class Engine:
                     req.finished = True
                     req.finish_reason = "length"
                     self.active[i] = False
+                    self._active_dirty = True
                     self.slot_req[i] = None
                     done.append(req)
                     pending -= 1
@@ -293,19 +306,26 @@ class Engine:
             while steps > 1 and (steps > max(min_rem, 1) or steps > headroom):
                 steps //= 2
             dispatch_active = self.active.copy()
+            if self._active_dirty:  # upload only when a slot started/finished
+                self._active_dev = jnp.asarray(dispatch_active)
+                self._active_dirty = False
             t0 = time.time()
             self.key, sub = jax.random.split(self.key)
             toks, self.cache, self.prev_tokens = self._decode(
                 self.params,
                 self.cache,
                 self.cur_tokens,
-                jnp.asarray(self.lengths),
-                jnp.asarray(dispatch_active),
+                self._lengths_dev,
+                self._active_dev,
                 self.prev_tokens,
                 sub,
                 steps=steps,
             )
             self.cur_tokens = toks[-1]  # device-side, no sync
+            # device lengths advance uniformly for dispatch-active slots;
+            # host lengths advance below (skipping finished-by-first slots —
+            # divergence on inactive slots is masked and reset at admission)
+            self._lengths_dev = self._lengths_dev + steps * self._active_dev
             # THE host sync of this round: first tokens + horizon tokens
             if firsts_dev is not None:
                 firsts_np = np.asarray(firsts_dev)
