@@ -237,6 +237,16 @@ def cmd_humaneval(args):
     print(json.dumps({"pass@1": res["pass@1"]}))
 
 
+def cmd_reasoning(args):
+    from .eval.reasoning import load_jsonl, run_reasoning
+
+    eng, tok = _engine_for_eval(args)
+    res = run_reasoning(eng, tok, load_jsonl(args.data_path), args.task,
+                        max_new_tokens=args.max_new_tokens,
+                        n_samples=args.n_samples, limit=args.limit)
+    print(json.dumps(res))
+
+
 def cmd_mix_data(args):
     from .generation.datasets import mix_data
 
@@ -387,6 +397,18 @@ def build_parser():
     he.add_argument("--max_batch", type=int, default=8)
     he.add_argument("--limit", type=int, default=None)
     he.set_defaults(fn=cmd_humaneval)
+
+    rs = sub.add_parser("reasoning", help="AIME/MATH-500/GPQA-style generative eval")
+    rs.add_argument("--model_path", required=True)
+    rs.add_argument("--task", choices=["aime", "math500", "gpqa"], required=True)
+    rs.add_argument("--data_path", required=True, help="local JSONL (see eval/reasoning.py)")
+    rs.add_argument("--load_quant", default=None)
+    rs.add_argument("--temperature", type=float, default=0.6)
+    rs.add_argument("--max_new_tokens", type=int, default=2048)
+    rs.add_argument("--max_batch", type=int, default=8)
+    rs.add_argument("--n_samples", type=int, default=1, help="majority-vote ensembling")
+    rs.add_argument("--limit", type=int, default=None)
+    rs.set_defaults(fn=cmd_reasoning)
 
     mx = sub.add_parser("mix_data", help="merge+shuffle two teacher JSONL files")
     mx.add_argument("path_a")
