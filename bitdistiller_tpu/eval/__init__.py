@@ -5,6 +5,7 @@ from .humaneval import (
     run_humaneval,
 )
 from .ppl import load_wikitext2_test, make_nll_fn, perplexity, prepare_blocks
+from .reasoning import run_reasoning
 from .tasks import (
     MMLU_SUBJECTS,
     TASK_REGISTRY,
@@ -32,4 +33,5 @@ __all__ = [
     "MCDoc",
     "evaluate_task",
     "run_tasks",
+    "run_reasoning",
 ]
