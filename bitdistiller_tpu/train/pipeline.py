@@ -38,11 +38,18 @@ logger = logging.getLogger(__name__)
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state):
+    """Save the FULL train state (params + optimizer moments + step) — the
+    reference resumes complete trainer state through HF Trainer/DeepSpeed
+    (train.sh:40-43); params-only restore would silently reset Adam."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state.params, force=True)
+    ckptr.save(
+        path,
+        {"params": state.params, "opt_state": state.opt_state, "step": state.step},
+        force=True,
+    )
     ckptr.wait_until_finished()
     return path
 
@@ -51,8 +58,13 @@ def restore_checkpoint(path: str, state):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), state.params)
-    state.params = restored
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        {"params": state.params, "opt_state": state.opt_state, "step": state.step},
+    )
+    state.params = restored["params"]
+    state.opt_state = restored["opt_state"]
+    state.step = restored["step"]
     return state
 
 
@@ -196,11 +208,16 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
             else None
         )
         t0 = time.time()
+        skip = start_step  # resume: replay the same shuffles, skip done steps
         for epoch in range(args.num_train_epochs):
             for batch in data_loader(
                 train_ds, collator, args.per_device_train_batch_size,
                 shuffle=True, seed=args.seed + epoch,
             ):
+                if skip > 0:
+                    skip -= 1
+                    micro_step += 1
+                    continue
                 batch = _shard_batch(batch, mesh)
                 state, metrics = step_fn(state, batch, beta)
                 micro_step += 1
@@ -209,7 +226,8 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                     logs.append(loss)
                     logger.info(
                         "step %d/%d loss %.4f (%.2fs/step)",
-                        micro_step, total_micro, loss, (time.time() - t0) / micro_step,
+                        micro_step, total_micro, loss,
+                        (time.time() - t0) / max(micro_step - start_step, 1),
                     )
                     if metrics_f is not None:
                         import json as _json
@@ -219,7 +237,7 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                             "epoch": epoch,
                             "loss": loss,
                             "grad_norm": float(metrics["grad_norm"]),
-                            "seconds_per_step": (time.time() - t0) / micro_step,
+                            "seconds_per_step": (time.time() - t0) / max(micro_step - start_step, 1),
                         }) + "\n")
                 if args.save_steps and micro_step % args.save_steps == 0:
                     save_checkpoint(args.output_dir, micro_step, state)

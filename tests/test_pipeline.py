@@ -141,6 +141,14 @@ def test_orbax_checkpoint_roundtrip(tmp_path, tiny):
         np.asarray(state2.params["layers"]["q"]["w"]),
         np.asarray(state.params["layers"]["q"]["w"]),
     )
+    # FULL state restores: Adam moments and the step counter, not just params
+    # (params-only restore silently resets the optimizer)
+    m1 = jax.tree_util.tree_leaves(state.opt_state)
+    m2 = jax.tree_util.tree_leaves(state2.opt_state)
+    assert len(m1) == len(m2)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(state2.step) == int(state.step)
 
 
 def test_cli_parser_smoke():
