@@ -232,7 +232,9 @@ def quant_matmul_pallas(
     xf = x.reshape(-1, k)
     m = xf.shape[0]
     if block_m is None:
-        block_m = min(128, max(8, _round_up(m, 8)))
+        # prefill sweep on v5e: bm=256 reaches 0.86 MFU at [4096, 4096xN]
+        # shapes vs 0.78 at bm=128; decode (m<=8) keeps the minimal tile
+        block_m = min(256, max(8, _round_up(m, 8)))
     block_n = min(block_n, n)
     g = p.group_size
     rpg = g // (32 // p.bits)

@@ -154,7 +154,9 @@ class Engine:
         (tokens, cache, pos, prev_tokens, key), toks = jax.lax.scan(
             one, (tokens, cache, pos, prev_tokens, key), None, length=steps
         )
-        return toks, cache, prev_tokens  # toks: [steps, B]
+        # the advanced key comes back as an output: the host never needs a
+        # per-round jax.random.split dispatch
+        return toks, cache, prev_tokens, key  # toks: [steps, B]
 
     # -- host scheduling ----------------------------------------------------
 
@@ -310,15 +312,14 @@ class Engine:
                 self._active_dev = jnp.asarray(dispatch_active)
                 self._active_dirty = False
             t0 = time.time()
-            self.key, sub = jax.random.split(self.key)
-            toks, self.cache, self.prev_tokens = self._decode(
+            toks, self.cache, self.prev_tokens, self.key = self._decode(
                 self.params,
                 self.cache,
                 self.cur_tokens,
                 self._lengths_dev,
                 self._active_dev,
                 self.prev_tokens,
-                sub,
+                self.key,
                 steps=steps,
             )
             self.cur_tokens = toks[-1]  # device-side, no sync
