@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from .config import ModelConfig
 from .layers import (
     Quantizer,
-    alibi_bias,
     apply_norm,
     apply_rope,
     cached_attention,
