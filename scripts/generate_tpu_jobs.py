@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 JOB_TEMPLATE = """\
 apiVersion: jobset.x-k8s.io/v1alpha2
@@ -85,7 +86,8 @@ def generate(args) -> list[str]:
     os.makedirs(args.out_dir, exist_ok=True)
     paths = []
     for ckpt in args.checkpoints:
-        tag = os.path.basename(ckpt.rstrip("/")).lower().replace("_", "-")
+        # K8s object names must be DNS-1123 labels: lowercase alnum + '-'
+        tag = re.sub(r"[^a-z0-9-]+", "-", os.path.basename(ckpt.rstrip("/")).lower()).strip("-")
         for mode in args.modes:
             cmd = MODES[mode].format(
                 model=ckpt, data=args.data_path, out=args.artifact_dir,
