@@ -35,7 +35,9 @@ V5E_HBM_BYTES_PER_S = 819e9
 V5E_BF16_FLOPS = 197e12
 
 
-def model_bytes_per_step(cfg: ModelConfig, bits: int, batch: int, cache_len: int) -> float:
+def model_bytes_per_step(
+    cfg: ModelConfig, bits: int, batch: int, cache_len: int, kv_bytes: float = 2
+) -> float:
     d, dh = cfg.hidden_size, cfg.actual_head_dim
     per_layer_weights = (
         d * cfg.num_heads * dh
@@ -47,7 +49,10 @@ def model_bytes_per_step(cfg: ModelConfig, bits: int, batch: int, cache_len: int
     qw_bytes = n_weights * bits / 8
     scale_bytes = n_weights / 128 * 4  # one int32 combo word per group
     lm_head = d * cfg.vocab_size * 2
-    kv = cfg.num_layers * batch * cache_len * cfg.num_kv_heads * dh * 2 * 2
+    # int8 cache: 1 byte/elem codes + one f32 scale per (head, token) — the
+    # roofline is recomputed for the ACTUAL bytes moved, so vs_baseline stays
+    # a fraction-of-speed-of-light, not a compression credit
+    kv = cfg.num_layers * batch * cache_len * cfg.num_kv_heads * (dh * kv_bytes + (4 if kv_bytes == 1 else 0)) * 2
     return qw_bytes + scale_bytes + lm_head + kv
 
 
@@ -65,7 +70,8 @@ def make_cfg(layers: int) -> ModelConfig:
 
 def bench_decode(params, cfg, args, cache_len: int, steps: int):
     """Returns (ms_per_step, tokens_per_s, roofline_frac)."""
-    cache = KVCache.init(cfg, batch=args.batch, max_len=cache_len, dtype=jnp.bfloat16)
+    kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
+    cache = KVCache.init(cfg, batch=args.batch, max_len=cache_len, dtype=kv_dtype)
     rng = np.random.default_rng(0)
 
     # The cache is DONATED: at cache 2048 an undonated step must allocate a
@@ -111,7 +117,8 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int):
     print(f"  checksum {checksum:.4f}", file=sys.stderr)
     tokens_per_s = args.batch / dt
     roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(
-        cfg, args.bits, args.batch, cache_len
+        cfg, args.bits, args.batch, cache_len,
+        kv_bytes=1 if args.kv_dtype == "int8" else 2,
     )
     frac = tokens_per_s / (roofline_steps * args.batch)
     print(
@@ -131,6 +138,7 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--bits", type=int, default=2)
     ap.add_argument("--mode", choices=["decode", "prefill", "engine"], default="decode")
+    ap.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
     ap.add_argument("--prefill-len", type=int, default=512)
     ap.add_argument("--skip-short-row", action="store_true")
     args = ap.parse_args()
@@ -186,6 +194,7 @@ def main():
             params, cfg, max_slots=args.batch, max_len=1024,
             sampling=SamplingParams(temperature=0.0), eos_token_id=None,
             decode_horizon=16,
+            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         )
         prompts = [
             list(rng.integers(0, cfg.vocab_size, (64,))) for _ in range(args.batch * 2)
@@ -229,7 +238,9 @@ def main():
     print(json.dumps({
         "metric": (
             f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, "
-            f"cache {args.cache_len}, 1 chip"
+            f"cache {args.cache_len}"
+            + (", int8 KV" if args.kv_dtype == "int8" else "")
+            + ", 1 chip"
         ),
         "value": round(tps, 1),
         "unit": "tokens/s",

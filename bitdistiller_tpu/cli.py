@@ -139,6 +139,7 @@ def cmd_chat(args):
             repetition_penalty=args.repetition_penalty,
         ),
         eos_token_id=tok.eos_token_id,
+        cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
     )
     print("chat ready (ctrl-d to exit)")
     while True:
@@ -347,6 +348,8 @@ def build_parser():
     ch.add_argument("--top_p", type=float, default=0.95)
     ch.add_argument("--top_k", type=int, default=0)
     ch.add_argument("--repetition_penalty", type=float, default=1.0)
+    ch.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16",
+                    help="int8 = quantized KV cache (halves decode KV traffic)")
     ch.set_defaults(fn=cmd_chat)
 
     gen = sub.add_parser("generate", help="teacher data self-generation (stage 2)")

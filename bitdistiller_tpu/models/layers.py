@@ -143,25 +143,42 @@ def cached_attention(
     v_new: jnp.ndarray,
     mask: jnp.ndarray,  # [B, 1, S, T+S] bool
     bias: jnp.ndarray | None = None,  # [B, Hq, S, T+S] additive (ALiBi)
+    k_scale: jnp.ndarray | None = None,  # [B, Hkv, T] — ck holds int8 codes
+    v_scale: jnp.ndarray | None = None,  # [B, Hkv, T] — cv holds int8 codes
 ) -> jnp.ndarray:
     """Decode/prefill attention over cache ++ fresh without materializing the
     concatenated KV (a per-layer cache copy would dominate decode bandwidth).
-    Only the score tensors are concatenated (tiny)."""
+    Only the score tensors are concatenated (tiny).
+
+    Quantized (int8) cache: scales are per (head, token) — per token t,
+    q·(s_t·k_t) = s_t·(q·k_t) and Σ_t p_t·(s_t·v_t) = Σ_t (p_t·s_t)·v_t, so
+    both scales fold into the tiny score/prob matrices in f32 and the
+    dequantized KV is NEVER materialized: HBM reads stay 1 byte/element
+    (the whole point — decode at long context is KV-traffic-bound)."""
     b, s, hq, d = q.shape
     hkv, t = ck.shape[1], ck.shape[2]
     rep = hq // hkv
     qg = q.reshape(b, s, hkv, rep, d)
     scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
-    sc_cache = jnp.einsum("bshrd,bhtd->bhrst", qg, ck, preferred_element_type=jnp.float32) * scale
+    # int8 codes enter the MXU as bf16 (|code| <= 127 is exact in bf16); the
+    # convert fuses into the dot's operand read
+    ck_m = ck if k_scale is None else ck.astype(q.dtype)
+    sc_cache = jnp.einsum("bshrd,bhtd->bhrst", qg, ck_m, preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        sc_cache = sc_cache * k_scale[:, :, None, None, :].astype(jnp.float32)
     sc_new = jnp.einsum("bshrd,bthd->bhrst", qg, k_new, preferred_element_type=jnp.float32) * scale
     scores = jnp.concatenate([sc_cache, sc_new], axis=-1)  # [B,Hkv,rep,S,T+S]
     if bias is not None:
         scores = scores + bias.reshape(b, hkv, rep, *bias.shape[-2:]).astype(jnp.float32)
     scores = jnp.where(mask[:, :, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    p_cache = probs[..., :t].astype(cv.dtype)
+    p_cache = probs[..., :t]
+    if v_scale is not None:
+        p_cache = p_cache * v_scale[:, :, None, None, :].astype(jnp.float32)
+    p_cache = p_cache.astype(q.dtype)
+    cv_m = cv if v_scale is None else cv.astype(q.dtype)
     p_new = probs[..., t:].astype(v_new.dtype)
-    out = jnp.einsum("bhrst,bhtd->bshrd", p_cache, cv) + jnp.einsum(
+    out = jnp.einsum("bhrst,bhtd->bshrd", p_cache, cv_m) + jnp.einsum(
         "bhrst,bthd->bshrd", p_new, v_new
     )
     return out.reshape(b, s, hq, d)

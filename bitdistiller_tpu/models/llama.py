@@ -48,15 +48,43 @@ class KVCache(NamedTuple):
     T is the MINOR-side dim so each (batch, head)'s cache is a contiguous
     [T, D] plane — the decode attention kernel streams it at full HBM
     bandwidth (the reference's FT packed-K layout [B,H,Dh/8,L,8] solves the
-    same problem for CUDA warps, ft_attention.cpp:111-181)."""
+    same problem for CUDA warps, ft_attention.cpp:111-181).
+
+    dtype=int8 stores symmetric per-(layer,batch,head,token) quantized codes
+    with f32 scales — halves decode KV traffic vs bf16 (the long-context
+    decode bottleneck; the reference has no KV quantization, this is a
+    beyond-parity capability). Scales fold into the attention score/prob
+    matrices exactly (layers.cached_attention), so nothing is dequantized."""
 
     k: jnp.ndarray  # [L, B, Hkv, T, Dh]
     v: jnp.ndarray  # [L, B, Hkv, T, Dh]
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, Hkv, T] when k is int8
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def init(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.actual_head_dim)
+        if jnp.dtype(dtype) == jnp.int8:
+            sshape = shape[:-1]
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per-token quantization along the trailing head_dim:
+    x [..., T, D] -> (codes int8 [..., T, D], scale f32 [..., T])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return codes.astype(jnp.int8), scale
 
 
 def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
@@ -135,7 +163,7 @@ def _block(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     mask: jnp.ndarray | None,
-    cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,  # ([B,Hkv,T,Dh],)*2
+    cache_kv: tuple | None,  # (ck, cv, k_scale|None, v_scale|None), [B,Hkv,T,Dh]
     cache_pos,
     quantizer: Quantizer,
     causal_offset: int = 0,
@@ -173,8 +201,8 @@ def _block(
         # [T_max] cache buffer (a full-cache write per layer per step would
         # dominate decode bandwidth); the new tokens are written back once
         # after the scan by `forward`.
-        ck, cv = cache_kv
-        if flash_args is not None:
+        ck, cv, ks, vs = cache_kv
+        if flash_args is not None:  # flash kernel reads bf16 caches only
             from ..ops.flash_decode import flash_decode_attention
 
             start, window = flash_args
@@ -183,11 +211,15 @@ def _block(
                 window=window,
             )
         else:
+            fresh_dtype = k.dtype if ks is not None else ck.dtype
             attn = cached_attention(
-                q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), mask,
-                bias=attn_bias,
+                q, ck, cv, k.astype(fresh_dtype), v.astype(fresh_dtype), mask,
+                bias=attn_bias, k_scale=ks, v_scale=vs,
             )
-        new_cache = (k.astype(ck.dtype), v.astype(cv.dtype))
+        # fresh tokens stay full-precision here; `forward` quantizes them
+        # once at the single write-back when the cache is int8
+        wb_dtype = k.dtype if ks is not None else ck.dtype
+        new_cache = (k.astype(wb_dtype), v.astype(wb_dtype))
     else:
         attn = causal_attention(
             q, k, v, mask, causal_offset=causal_offset, bias=attn_bias
@@ -352,7 +384,7 @@ def forward(
     if use_flash_decode is None:
         use_flash_decode = False
     flash_args = None
-    if use_flash_decode and cache is not None and s == 1:
+    if use_flash_decode and cache is not None and s == 1 and not cache.quantized:
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash_args = (start_vec, cfg.sliding_window)
 
@@ -379,12 +411,12 @@ def forward(
             )
             return new_h, kv
         if sliding_flags is not None:
-            lp, ck, cv, flag = layer_in
+            lp, ck, cv, ks, vs, flag = layer_in
         else:
-            (lp, ck, cv), flag = layer_in, None
+            (lp, ck, cv, ks, vs), flag = layer_in, None
         c, si, m = select_layer_mode(flag)
         new_h, new_kv = _block(
-            cfg, lp, hidden, c, si, m, (ck, cv), cache_pos, quantizer,
+            cfg, lp, hidden, c, si, m, (ck, cv, ks, vs), cache_pos, quantizer,
             attn_bias=attn_bias, flash_args=flash_args,
         )
         return new_h, new_kv
@@ -397,29 +429,41 @@ def forward(
         h, kv = jax.lax.scan(body, h, xs)
         new_cache = KVCache(k=kv[0], v=kv[1]) if return_kv else None
     else:
-        xs = (
-            (lp_stack, cache.k, cache.v, sliding_flags)
-            if sliding_flags is not None
-            else (lp_stack, cache.k, cache.v)
-        )
+        cache_xs = (lp_stack, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = cache_xs + (sliding_flags,) if sliding_flags is not None else cache_xs
         h, (nk, nv) = jax.lax.scan(body, h, xs)
         # single small write-back of the fresh tokens: blocks emit
         # [L, B, S, Hkv, D] -> transpose to the cache's head-major layout
         nk = nk.transpose(0, 1, 3, 2, 4)  # [L, B, Hkv, S, D]
         nv = nv.transpose(0, 1, 3, 2, 4)
+        if cache.quantized:
+            nk, nks = quantize_kv(nk)
+            nv, nvs = quantize_kv(nv)
         if per_slot:
             # per-slot positions: scatter each batch row at its own offset
             def upd(buf_b, new_b, p):  # [L, H, T, D], [L, H, S, D]
                 return jax.lax.dynamic_update_slice(buf_b, new_b, (0, 0, p, 0))
 
+            def supd(buf_b, new_b, p):  # [L, H, T], [L, H, S]
+                return jax.lax.dynamic_update_slice(buf_b, new_b, (0, 0, p))
+
             vupd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+            vsupd = jax.vmap(supd, in_axes=(1, 1, 0), out_axes=1)
             new_cache = KVCache(
-                k=vupd(cache.k, nk, pos_vec), v=vupd(cache.v, nv, pos_vec)
+                k=vupd(cache.k, nk, pos_vec), v=vupd(cache.v, nv, pos_vec),
+                k_scale=vsupd(cache.k_scale, nks, pos_vec) if cache.quantized else None,
+                v_scale=vsupd(cache.v_scale, nvs, pos_vec) if cache.quantized else None,
             )
         else:
             new_cache = KVCache(
                 k=jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, 0, cache_pos, 0)),
                 v=jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, 0, cache_pos, 0)),
+                k_scale=jax.lax.dynamic_update_slice(
+                    cache.k_scale, nks, (0, 0, 0, cache_pos)
+                ) if cache.quantized else None,
+                v_scale=jax.lax.dynamic_update_slice(
+                    cache.v_scale, nvs, (0, 0, 0, cache_pos)
+                ) if cache.quantized else None,
             )
 
     h = apply_norm(params["final_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)

@@ -118,11 +118,16 @@ def packed_param_specs(cfg: ModelConfig) -> dict:
     return specs
 
 
-def kv_cache_specs():
-    """KV cache [L, B, Hkv, T, Dh]: batch over dp, kv heads over tp."""
+def kv_cache_specs(quantized: bool = False):
+    """KV cache [L, B, Hkv, T, Dh]: batch over dp, kv heads over tp.
+    quantized=True adds specs for the int8 cache's [L, B, Hkv, T] scales."""
     from ..models.llama import KVCache
 
-    return KVCache(k=P(None, "dp", "tp", None, None), v=P(None, "dp", "tp", None, None))
+    kv = P(None, "dp", "tp", None, None)
+    if quantized:
+        s = P(None, "dp", "tp", None)
+        return KVCache(k=kv, v=kv, k_scale=s, v_scale=s)
+    return KVCache(k=kv, v=kv)
 
 
 def shard_packed_model(params, mesh: Mesh, cfg: ModelConfig):

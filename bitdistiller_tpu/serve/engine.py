@@ -123,8 +123,6 @@ class Engine:
         # never recompiles); rows beyond the true prompt length hold padding
         # junk but stay masked by the per-slot position (t < cache_pos)
         def upd(buf, new):
-            new = new.transpose(0, 1, 3, 2, 4)  # [L, nb, H, S, D]
-
             def one(b, i):
                 return jax.lax.dynamic_update_slice(
                     b, new[:, i].astype(b.dtype)[:, None], (0, slots[i], 0, 0, 0)
@@ -132,7 +130,26 @@ class Engine:
 
             return jax.lax.fori_loop(0, n_valid, lambda i, b: one(b, i), buf)
 
-        return KVCache(k=upd(cache.k, kv.k), v=upd(cache.v, kv.v))
+        def supd(buf, new):  # scales [L, nb, H, S] -> rows of [L, B, H, T]
+            def one(b, i):
+                return jax.lax.dynamic_update_slice(
+                    b, new[:, i][:, None], (0, slots[i], 0, 0)
+                )
+
+            return jax.lax.fori_loop(0, n_valid, lambda i, b: one(b, i), buf)
+
+        nk = kv.k.transpose(0, 1, 3, 2, 4)  # [L, nb, H, S, D]
+        nv = kv.v.transpose(0, 1, 3, 2, 4)
+        if cache.quantized:
+            from ..models.llama import quantize_kv
+
+            nk, nks = quantize_kv(nk)
+            nv, nvs = quantize_kv(nv)
+            return KVCache(
+                k=upd(cache.k, nk), v=upd(cache.v, nv),
+                k_scale=supd(cache.k_scale, nks), v_scale=supd(cache.v_scale, nvs),
+            )
+        return KVCache(k=upd(cache.k, nk), v=upd(cache.v, nv))
 
     def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key, steps=1):
         max_pos = self.max_len - 1
