@@ -9,10 +9,14 @@ from .reasoning import run_reasoning
 from .tasks import (
     MMLU_SUBJECTS,
     TASK_REGISTRY,
+    GenDoc,
+    GreedyUntilFn,
     LogLikelihoodFn,
     MCDoc,
+    evaluate_gen_task,
     evaluate_task,
     run_tasks,
+    trim_at_stops,
 )
 
 __all__ = [
@@ -29,9 +33,13 @@ __all__ = [
     "prepare_blocks",
     "MMLU_SUBJECTS",
     "TASK_REGISTRY",
+    "GenDoc",
+    "GreedyUntilFn",
     "LogLikelihoodFn",
     "MCDoc",
+    "evaluate_gen_task",
     "evaluate_task",
     "run_tasks",
+    "trim_at_stops",
     "run_reasoning",
 ]

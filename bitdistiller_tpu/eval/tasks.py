@@ -269,6 +269,76 @@ for _subj in MMLU_SUBJECTS:
 
 
 # ---------------------------------------------------------------------------
+# Generative (greedy_until) tasks
+# ---------------------------------------------------------------------------
+
+
+class GenDoc:
+    """A generative-task document: greedy-generate from `context` until any
+    stop string in `until`, compare against `target` (lm-eval v0.3
+    greedy_until request semantics, base.py greedy_until / evaluator.py)."""
+
+    __slots__ = ("context", "target", "until")
+
+    def __init__(self, context: str, target: str, until: Sequence[str] = ("\n",)):
+        self.context = context
+        self.target = target
+        self.until = tuple(until)
+
+
+def trim_at_stops(text: str, until: Sequence[str]) -> str:
+    """Cut the generation at the earliest stop sequence (exclusive)."""
+    cut = len(text)
+    for stop in until:
+        if stop:
+            i = text.find(stop)
+            if i != -1:
+                cut = min(cut, i)
+    return text[:cut]
+
+
+class GreedyUntilFn:
+    """Engine-backed greedy generation for generative tasks — the adaptor
+    role of the reference's LMEvalAdaptor._model_generate (utils_eval.py:
+    88-114), batched through the continuous-batching engine instead of a
+    per-request HF generate call."""
+
+    def __init__(self, engine, tokenizer, *, max_new_tokens: int = 256):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.max_new_tokens = max_new_tokens
+
+    def __call__(self, requests: Sequence[tuple[str, Sequence[str]]]) -> list[str]:
+        prompts = [self.tokenizer.encode(ctx) for ctx, _ in requests]
+        outs = self.engine.generate(prompts, max_new_tokens=self.max_new_tokens)
+        texts = [self.tokenizer.decode(o, skip_special_tokens=True) for o in outs]
+        return [
+            trim_at_stops(t, until) for t, (_, until) in zip(texts, requests)
+        ]
+
+
+def evaluate_gen_task(
+    gen_fn: Callable,
+    docs: Iterable[GenDoc],
+    limit: Optional[int] = None,
+    postprocess: Optional[Callable[[str], str]] = None,
+) -> dict:
+    """Exact-match accuracy over greedy generations (the metric lm-eval's
+    generative tasks use after their per-task extraction)."""
+    docs = list(docs)
+    if limit:
+        docs = docs[:limit]
+    preds = gen_fn([(d.context, d.until) for d in docs])
+    if postprocess is not None:
+        preds = [postprocess(p) for p in preds]
+    em = sum(
+        int(p.strip() == d.target.strip()) for p, d in zip(preds, docs)
+    )
+    n = len(docs)
+    return {"exact_match": em / n if n else 0.0, "n": n}
+
+
+# ---------------------------------------------------------------------------
 # Evaluation driver
 # ---------------------------------------------------------------------------
 

@@ -115,3 +115,61 @@ def test_humaneval_execution():
     assert not check_correctness(problem, bad)
     res = evaluate_functional_correctness([problem, problem], [good, bad])
     assert res["pass@1"] == 0.5
+
+
+# -- generative (greedy_until) path -----------------------------------------
+
+from bitdistiller_tpu.eval.tasks import (
+    GenDoc,
+    GreedyUntilFn,
+    evaluate_gen_task,
+    trim_at_stops,
+)
+
+
+def test_trim_at_stops():
+    assert trim_at_stops("abc\ndef", ["\n"]) == "abc"
+    assert trim_at_stops("abcSTOPdef\nx", ["\n", "STOP"]) == "abc"
+    assert trim_at_stops("no stops here", ["\n"]) == "no stops here"
+    assert trim_at_stops("x", []) == "x"
+
+
+def test_evaluate_gen_task_exact_match():
+    docs = [
+        GenDoc("Q1:", " yes", until=["\n"]),
+        GenDoc("Q2:", " no", until=["\n"]),
+        GenDoc("Q3:", " maybe", until=["\n"]),
+    ]
+
+    def fake_gen(requests):
+        assert [u for _, u in requests] == [("\n",)] * 3
+        return [" yes", " wrong", " maybe  "]
+
+    res = evaluate_gen_task(fake_gen, docs)
+    assert res == {"exact_match": 2 / 3, "n": 3}
+    res = evaluate_gen_task(fake_gen, docs, postprocess=lambda s: s.strip())
+    assert res["exact_match"] == 2 / 3
+
+
+def test_greedy_until_fn_through_engine():
+    """End-to-end: GreedyUntilFn drives the real engine; the result must
+    equal trimming the engine's raw greedy output."""
+    from bitdistiller_tpu.serve import Engine, SamplingParams
+
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    eng = Engine(
+        params, cfg, max_slots=2, max_len=32,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    tok = CharTok()
+    gen_fn = GreedyUntilFn(eng, tok, max_new_tokens=6)
+    ctxs = ["hello", "world!"]
+    raw = eng.generate([tok.encode(c) for c in ctxs], max_new_tokens=6)
+    want = [
+        tok.decode(o)[: len(tok.decode(o)) if "a" not in tok.decode(o) else tok.decode(o).find("a")]
+        for o in raw
+    ]
+    got = gen_fn([(c, ["a"]) for c in ctxs])
+    assert got == want
+    assert all(len(g) <= 6 for g in got)
