@@ -31,6 +31,24 @@ TEMPLATES = {
         (f"<|im_start|>system\n{sys}<|im_end|>\n" if sys else "")
         + f"<|im_start|>user\n{user}<|im_end|>\n<|im_start|>assistant\n"
     ),
+    # falcon-instruct dialogue format (FalconPrompter, prompt_templates.py:174)
+    "falcon": lambda sys, user: (
+        (f"{sys}\n" if sys else "") + f"User: {user}\nAssistant:"
+    ),
+    # mpt-chat uses ChatML with mosaic's default system line
+    # (MPTChatPrompter, prompt_templates.py:201)
+    "mpt-chat": lambda sys, user: (
+        "<|im_start|>system\n"
+        + (sys or "A conversation between a user and an LLM-based AI assistant.")
+        + "<|im_end|>\n"
+        + f"<|im_start|>user\n{user}<|im_end|>\n<|im_start|>assistant\n"
+    ),
+    # wizardcoder-style code instruction (data_utils.py code prompt family)
+    "code": lambda sys, user: (
+        "Below is an instruction that describes a task. "
+        "Write a response that appropriately completes the request.\n\n"
+        f"### Instruction:\n{user}\n\n### Response:"
+    ),
 }
 
 

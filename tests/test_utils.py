@@ -49,5 +49,9 @@ def test_render_prompt():
     out = render_prompt("llama2", "hi", system="be nice")
     assert "[INST]" in out and "be nice" in out
     assert render_prompt("raw", "plain") == "plain"
+    assert render_prompt("falcon", "hi") == "User: hi\nAssistant:"
+    assert render_prompt("mpt-chat", "hi").startswith("<|im_start|>system\n")
+    assert render_prompt("mpt-chat", "hi").endswith("<|im_start|>assistant\n")
+    assert "### Response:" in render_prompt("code", "write fizzbuzz")
     with pytest.raises(ValueError):
         render_prompt("nope", "x")
