@@ -137,11 +137,77 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--bits", type=int, default=2)
-    ap.add_argument("--mode", choices=["decode", "prefill", "engine"], default="decode")
+    ap.add_argument("--mode", choices=["decode", "prefill", "engine", "train"],
+                    default="decode")
     ap.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--horizon", type=int, default=16,
+                    help="engine mode: decode steps per host sync")
     ap.add_argument("--prefill-len", type=int, default=512)
     ap.add_argument("--skip-short-row", action="store_true")
     args = ap.parse_args()
+
+    if args.mode == "train":
+        # KD-QAT step throughput: CAKLD (teacher fwd + student fwd/bwd with
+        # fake-quant-on-forward + AdamW) at a ~0.5B config — the largest KD
+        # footprint (teacher bf16 + student f32 + Adam moments f32) that fits
+        # one 16 GB chip. Reference recipe: micro-bs 2 x seqlen 1024
+        # (scripts/train/train.sh:29-37, per-device).
+        from bitdistiller_tpu.models import ModelConfig, init_params
+        from bitdistiller_tpu.train import TrainConfig, init_train_state, make_train_step
+
+        full = args.layers >= 16  # --layers < 16 = smoke-test scale
+        cfg = ModelConfig(
+            vocab_size=32000 if full else 256,
+            hidden_size=1536 if full else 64,
+            intermediate_size=4096 if full else 128,
+            num_layers=16 if full else args.layers,
+            num_heads=16 if full else 4,
+            num_kv_heads=16 if full else 4,
+            max_position_embeddings=2048,
+        )
+        seq, bsz = (1024, 2) if full else (32, 2)
+        tc = TrainConfig(quant_type=f"int{args.bits}-asym" if args.bits != 3 else "ste-n2f3",
+                         q_group_size=128 if full else 32, kd_loss_type="cakld",
+                         gradient_checkpointing=True)
+        n_label = "0.5B" if full else "toy"
+        print(f"building {n_label} teacher+student...", file=sys.stderr)
+        teacher = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+        state = init_train_state(
+            jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), teacher), tc
+        )
+        step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher), donate_argnums=(0,))
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (bsz, seq)), jnp.int32),
+            "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (bsz, seq)), jnp.int32),
+            "attention_mask": jnp.ones((bsz, seq), jnp.int32),
+        }
+        beta = jnp.asarray(0.5)
+        state, metrics = step(state, batch, beta)
+        float(metrics["loss"])  # warm + first-transfer
+        n_iter = max(args.steps // 10, 5)
+        t0 = time.time()
+        loss = None
+        for _ in range(n_iter):
+            state, metrics = step(state, batch, beta)
+            loss = metrics["loss"]
+        final_loss = float(loss)  # syncs the whole chain
+        dt = (time.time() - t0) / n_iter
+        print(f"  loss {final_loss:.4f}", file=sys.stderr)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
+        toks = bsz * seq
+        # teacher fwd 2N + student fwd 2N + bwd 4N + remat re-fwd 2N per token
+        flops = toks * n_params * 10
+        mfu = flops / dt / V5E_BF16_FLOPS
+        print(json.dumps({
+            "metric": f"CAKLD KD-QAT step, {n_label}, bs {bsz} x {seq}, 1 chip",
+            "value": round(toks / dt, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(mfu, 4),  # = MFU (compute-bound target)
+            "ms_per_step": round(dt * 1e3, 1),
+            "mfu": round(mfu, 4),
+        }))
+        return
 
     cfg = make_cfg(args.layers)
     print(f"building int{args.bits}-g128 packed model ({args.layers} layers)...", file=sys.stderr)
@@ -193,7 +259,7 @@ def main():
         eng = Engine(
             params, cfg, max_slots=args.batch, max_len=1024,
             sampling=SamplingParams(temperature=0.0), eos_token_id=None,
-            decode_horizon=16,
+            decode_horizon=args.horizon,
             cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         )
         prompts = [
