@@ -51,12 +51,27 @@ _HF_BIAS_MAP = {
 def _load_all_tensors(path: str) -> dict[str, np.ndarray]:
     tensors: dict[str, np.ndarray] = {}
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
-    if not files:
-        raise FileNotFoundError(f"no .safetensors under {path}")
-    for f in files:
-        with safe_open(f, framework="numpy") as st:
-            for name in st.keys():
-                tensors[name] = st.get_tensor(name)
+    if files:
+        for f in files:
+            with safe_open(f, framework="numpy") as st:
+                for name in st.keys():
+                    tensors[name] = st.get_tensor(name)
+        return tensors
+    # torch .bin shard fallback (the format train/convert_pt_to_safetensor.py
+    # exists to merge away; loading it directly makes the converter optional)
+    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    if not bins:
+        raise FileNotFoundError(f"no .safetensors or pytorch_model*.bin under {path}")
+    import ml_dtypes
+    import torch
+
+    for f in bins:
+        sd = torch.load(f, map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            if t.dtype == torch.bfloat16:
+                tensors[name] = t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            else:
+                tensors[name] = t.numpy()
     return tensors
 
 

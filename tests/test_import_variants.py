@@ -306,3 +306,75 @@ def test_bloom_import_qkv_interleave(tmp_path):
     tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
     logits, _ = forward(params, cfg, tokens)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_torch_bin_shard_import(tmp_path):
+    """pytorch_model*.bin shards load identically to safetensors (the
+    reference ships convert_pt_to_safetensor.py to merge .bin shards;
+    here the importer reads them directly, including bf16 tensors)."""
+    import json
+    import torch
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, dtype="float32",
+    )
+    rng = np.random.default_rng(3)
+    d, qs, kvs, ffn = 32, cfg.q_size, cfg.kv_size, cfg.intermediate_size
+    tensors = {
+        "model.embed_tokens.weight": rng.standard_normal((64, d)),
+        "model.norm.weight": np.ones(d),
+        "lm_head.weight": rng.standard_normal((64, d)),
+    }
+    for i in range(2):
+        p = f"model.layers.{i}."
+        tensors[p + "self_attn.q_proj.weight"] = rng.standard_normal((qs, d))
+        tensors[p + "self_attn.k_proj.weight"] = rng.standard_normal((kvs, d))
+        tensors[p + "self_attn.v_proj.weight"] = rng.standard_normal((kvs, d))
+        tensors[p + "self_attn.o_proj.weight"] = rng.standard_normal((d, qs))
+        tensors[p + "mlp.gate_proj.weight"] = rng.standard_normal((ffn, d))
+        tensors[p + "mlp.up_proj.weight"] = rng.standard_normal((ffn, d))
+        tensors[p + "mlp.down_proj.weight"] = rng.standard_normal((d, ffn))
+        tensors[p + "input_layernorm.weight"] = np.ones(d)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones(d)
+    config = {
+        "model_type": "llama", "vocab_size": 64, "hidden_size": 32,
+        "intermediate_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+    }
+
+    # two .bin shards, bf16 (the common HF shard layout)
+    names = sorted(tensors)
+    half = len(names) // 2
+    bin_dir = tmp_path / "bin_ckpt"
+    bin_dir.mkdir()
+    for shard_i, shard_names in enumerate((names[:half], names[half:])):
+        torch.save(
+            {n: torch.asarray(np.float32(tensors[n])).to(torch.bfloat16)
+             for n in shard_names},
+            str(bin_dir / f"pytorch_model-{shard_i:05d}-of-00002.bin"),
+        )
+    with open(bin_dir / "config.json", "w") as f:
+        json.dump(config, f)
+
+    # safetensors twin with the SAME bf16 values
+    from safetensors.numpy import save_file
+    import ml_dtypes
+
+    st_dir = tmp_path / "st_ckpt"
+    st_dir.mkdir()
+    save_file(
+        {n: np.float32(tensors[n]).astype(ml_dtypes.bfloat16) for n in names},
+        str(st_dir / "model.safetensors"),
+    )
+    with open(st_dir / "config.json", "w") as f:
+        json.dump(config, f)
+
+    p_bin, cfg_bin = load_hf_checkpoint(str(bin_dir), dtype=jnp.float32)
+    p_st, cfg_st = load_hf_checkpoint(str(st_dir), dtype=jnp.float32)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_bin, p_st,
+    )
+    logits, _ = forward(p_bin, cfg_bin, jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
