@@ -344,10 +344,13 @@ class Engine:
             # host lengths advance below (skipping finished-by-first slots —
             # divergence on inactive slots is masked and reset at admission)
             self._lengths_dev = self._lengths_dev + steps * self._active_dev
-            # THE host sync of this round: first tokens + horizon tokens
+            # THE host sync of this round: first tokens + horizon tokens,
+            # fetched together (separate np.asarray calls = two relay
+            # round-trips; device_get batches the transfer)
             if firsts_dev is not None:
-                firsts_np = np.asarray(firsts_dev)
-            toks_np = np.asarray(toks)  # [steps, B]
+                firsts_np, toks_np = jax.device_get((firsts_dev, toks))
+            else:
+                toks_np = jax.device_get(toks)  # [steps, B]
             dt = time.time() - t0
             if admit_reqs:
                 for t_val, slot in zip(firsts_np, admit_slots):
