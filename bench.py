@@ -171,10 +171,13 @@ def main():
                          gradient_checkpointing=True)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
-        teacher = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-        state = init_train_state(
-            jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), teacher), tc
-        )
+        # one jitted build: eager init is a remote compile per op on the relay
+        def _build(k):
+            p = init_params(cfg, k, dtype=jnp.bfloat16)
+            return p, jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p)
+
+        teacher, student = jax.jit(_build)(jax.random.key(0))
+        state = init_train_state(student, tc)
         step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher), donate_argnums=(0,))
         rng = np.random.default_rng(0)
         batch = {

@@ -145,7 +145,9 @@ def init_train_state(
         )
         opt_state = jax.jit(opt.init, out_shardings=out_shardings)(f32_params)
     else:
-        opt_state = opt.init(f32_params)
+        # jitted: eager per-leaf zeros_like is one remote compile PER LEAF on
+        # a TPU relay attachment
+        opt_state = jax.jit(opt.init)(f32_params)
     return TrainState(
         params=f32_params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
     )
