@@ -46,3 +46,34 @@ def test_sharded_engine_matches_unsharded():
     # the cache must remain distributed (not replicated) after serving steps;
     # XLA may re-propagate an equivalent layout, so just check it's sharded
     assert not eng.cache.k.sharding.is_fully_replicated
+
+
+def test_sharded_engine_int8_cache():
+    """TP/DP-sharded serving with the quantized KV cache: sharded greedy
+    outputs must match the unsharded int8-cache engine (scale arrays shard
+    over the same (dp slots, tp heads) axes as the codes)."""
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    packed = pack_model(params, cfg, bits=4, group_size=64, fuse=False)
+    prompts = [[3, 5, 7], [11, 13, 17, 19], [2, 4, 6, 8, 10], [9, 9, 9]]
+
+    ref_eng = Engine(packed, cfg, max_slots=4, max_len=32,
+                     sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                     cache_dtype=jnp.int8)
+    ref_out = ref_eng.generate(prompts, max_new_tokens=6)
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_packed_model(packed, mesh, cfg)
+        eng = Engine(sharded, cfg, max_slots=4, max_len=32,
+                     sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                     cache_dtype=jnp.int8)
+        eng.cache = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            eng.cache, kv_cache_specs(quantized=True),
+        )
+        out = eng.generate(prompts, max_new_tokens=6)
+
+    assert out == ref_out, (out, ref_out)
+    assert eng.cache.k.dtype == jnp.int8
+    assert not eng.cache.k_scale.sharding.is_fully_replicated
