@@ -178,7 +178,9 @@ def main():
 
         teacher, student = jax.jit(_build)(jax.random.key(0))
         state = init_train_state(student, tc)
-        step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher), donate_argnums=(0,))
+        # teacher rides as an ARGUMENT: closed-over params are baked into the
+        # HLO as constants (minutes of serialization + relay re-upload)
+        step = jax.jit(make_train_step(cfg, tc), donate_argnums=(0,))
         rng = np.random.default_rng(0)
         batch = {
             "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (bsz, seq)), jnp.int32),
@@ -186,13 +188,13 @@ def main():
             "attention_mask": jnp.ones((bsz, seq), jnp.int32),
         }
         beta = jnp.asarray(0.5)
-        state, metrics = step(state, batch, beta)
+        state, metrics = step(state, batch, beta, teacher)
         float(metrics["loss"])  # warm + first-transfer
         n_iter = max(args.steps // 10, 5)
         t0 = time.time()
         loss = None
         for _ in range(n_iter):
-            state, metrics = step(state, batch, beta)
+            state, metrics = step(state, batch, beta, teacher)
             loss = metrics["loss"]
         final_loss = float(loss)  # syncs the whole chain
         dt = (time.time() - t0) / n_iter

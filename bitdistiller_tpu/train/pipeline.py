@@ -184,7 +184,9 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                                        jit_fn=jax.jit(make_cakld_beta_fn(cfg)))
             logger.info("CAKLD beta = %.4f", float(beta))
 
-        raw_step = make_train_step(cfg, tc, teacher_params=teacher)
+        # teacher passed per call (4th step arg), NOT closed over: a captured
+        # teacher tree is serialized into the HLO as constants at trace time
+        raw_step = make_train_step(cfg, tc)
         from ..utils.debug import DEBUG, checked
 
         # BITDISTILLER_DEBUG=1: checkify NaN/Inf detection inside the jitted
@@ -219,7 +221,7 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                     micro_step += 1
                     continue
                 batch = _shard_batch(batch, mesh)
-                state, metrics = step_fn(state, batch, beta)
+                state, metrics = step_fn(state, batch, beta, teacher)
                 micro_step += 1
                 if micro_step % args.logging_steps == 0:
                     loss = float(metrics["loss"])
@@ -274,14 +276,16 @@ def make_eval_step(cfg, tc, teacher):
     quantizer = make_quantizer(tc)
 
     @jax.jit
-    def eval_step(params, batch, beta):
+    def eval_step_impl(params, batch, beta, teacher):
         s_logits, _ = llama.forward(params, cfg, batch["input_ids"], quantizer=quantizer,
                                     attn_mask=batch["attention_mask"])
         t_logits, _ = llama.forward(teacher, cfg, batch["input_ids"],
                                     attn_mask=batch["attention_mask"])
         return kd_loss(tc.kd_loss_type, batch["labels"], s_logits, t_logits, beta=beta)
 
-    return eval_step
+    # teacher rides through jit as an ARGUMENT (a closed-over tree would be
+    # baked into the HLO as constants; ruinous at 7B on a relay attachment)
+    return lambda params, batch, beta: eval_step_impl(params, batch, beta, teacher)
 
 
 def evaluate(state, cfg, tc, teacher, eval_ds, collator, batch_size, beta, mesh,

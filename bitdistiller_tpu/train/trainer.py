@@ -158,16 +158,23 @@ def make_train_step(
     tc: TrainConfig,
     teacher_params=None,
 ) -> Callable:
-    """Build the jittable (state, batch, beta) -> (state, metrics) step.
+    """Build the jittable (state, batch, beta[, teacher]) -> (state, metrics)
+    step.
 
     batch: dict(input_ids [B,S], labels [B,S], attention_mask [B,S]).
     If teacher_params is None the step trains with plain CE on labels
     (the reference's non-KD branch, train.py:521-522).
+
+    Pass the teacher tree as the step's 4th ARGUMENT for anything bigger
+    than a toy model: a closed-over teacher is baked into the jitted HLO as
+    constants — gigabytes serialized at trace time and re-uploaded per
+    executable on a relay-attached TPU. The build-time `teacher_params`
+    closure remains as a convenience for small tests.
     """
     quantizer = make_quantizer(tc) if tc.quant_type else None
     opt = make_optimizer(tc)
 
-    def loss_fn(params, batch, beta):
+    def loss_fn(params, batch, beta, teacher_params):
         student_logits, _ = llama.forward(
             params,
             cfg,
@@ -204,8 +211,9 @@ def make_train_step(
             loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
         return loss
 
-    def train_step(state: TrainState, batch, beta):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, beta)
+    def train_step(state: TrainState, batch, beta, teacher=None):
+        t = teacher if teacher is not None else teacher_params
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, beta, t)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
