@@ -422,7 +422,16 @@ def forward(
         return new_h, new_kv
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        if remat == "save_quantized":
+            # recompute activations but NOT the per-layer weight fake-quant:
+            # trades one extra in-memory copy of the quantized weights for
+            # the backward pass's quantization recompute
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names("qweight"),
+            )
+        else:
+            body = jax.checkpoint(body, prevent_cse=False)
 
     if cache is None:
         xs = (lp_stack, sliding_flags) if sliding_flags is not None else lp_stack

@@ -327,4 +327,10 @@ def make_weight_quantizer(quant_type: str, group_size: int = 128):
     quantization grid.
     """
     q = make_fake_quantizer(quant_type, group_size)
-    return lambda w: q(w.T).T
+    from jax.ad_checkpoint import checkpoint_name
+
+    # the name lets a remat policy SAVE the fake-quantized weights instead of
+    # recomputing the quantization in the backward pass (TrainConfig
+    # remat_policy="save_quantized"; ~4% step time at 0.5B bs 2, measured);
+    # outside jax.checkpoint it is a no-op
+    return lambda w: checkpoint_name(q(w.T).T, "qweight")

@@ -48,6 +48,9 @@ class TrainConfig:
     grad_accum: int = 1
     max_grad_norm: float = 1.0
     gradient_checkpointing: bool = True
+    # "full" recomputes everything in bwd; "save_quantized" keeps the
+    # fake-quantized weights live (faster, one extra weight copy of memory)
+    remat_policy: str = "full"
     kd_loss_scale: float = 1.0
 
 
@@ -173,6 +176,12 @@ def make_train_step(
     """
     quantizer = make_quantizer(tc) if tc.quant_type else None
     opt = make_optimizer(tc)
+    student_remat = (
+        "save_quantized"
+        if tc.gradient_checkpointing and tc.remat_policy == "save_quantized"
+        and quantizer is not None
+        else tc.gradient_checkpointing
+    )
 
     def loss_fn(params, batch, beta, teacher_params):
         student_logits, _ = llama.forward(
@@ -181,7 +190,7 @@ def make_train_step(
             batch["input_ids"],
             quantizer=quantizer,
             attn_mask=batch.get("attention_mask"),
-            remat=tc.gradient_checkpointing,
+            remat=student_remat,
         )
         if teacher_params is not None and tc.train_kd:
             teacher_logits, _ = llama.forward(

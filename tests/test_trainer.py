@@ -165,3 +165,24 @@ def test_nf3_kd_train_step(setup):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_remat_policy_save_quantized_identical(setup):
+    """remat_policy='save_quantized' only changes WHAT the backward saves —
+    loss and gradients must be bit-identical to the full-recompute policy."""
+    import dataclasses
+
+    cfg, teacher, student, tc, batch = setup
+    beta = jnp.asarray(0.6)
+    results = {}
+    for policy in ("full", "save_quantized"):
+        tc_p = dataclasses.replace(tc, remat_policy=policy)
+        step = jax.jit(make_train_step(cfg, tc_p))
+        state = init_train_state(student, tc_p)
+        new_state, metrics = step(state, batch, beta, teacher)
+        results[policy] = (float(metrics["loss"]), new_state.params)
+    assert results["full"][0] == results["save_quantized"][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        results["full"][1], results["save_quantized"][1],
+    )
