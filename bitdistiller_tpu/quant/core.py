@@ -142,6 +142,36 @@ def fake_quant_int(
     return ((q - zeros) * scales).reshape(orig_shape)
 
 
+def fake_quant_int_kaxis(
+    w: jnp.ndarray,
+    n_bit: int,
+    group_size: int = 128,
+    *,
+    ste: bool = False,
+) -> jnp.ndarray:
+    """fake_quant_int for [K, N] weights with groups along K (per output
+    column) — bit-identical to `fake_quant_int(w.T).T` but grouped by a
+    reshape instead of two physical transposes (which cost real HBM traffic
+    on every QAT forward)."""
+    k, n = w.shape
+    if group_size <= 0:
+        group_size = k
+    if k % group_size != 0:
+        raise ValueError(f"K dim {k} not divisible by group size {group_size}")
+    wg = w.reshape(k // group_size, group_size, n)
+    stats = wg if ste else jax.lax.stop_gradient(wg)
+    max_int = 2**n_bit - 1
+    max_val = stats.max(axis=1)
+    min_val = stats.min(axis=1)
+    scales = jnp.clip(max_val - min_val, 1e-5, None) / max_int
+    zeros = jnp.clip(-jnp.round(min_val / scales), 0, max_int)
+    s = scales[:, None, :]
+    z = zeros[:, None, :]
+    rnd = ste_round if ste else jnp.round
+    q = clip_torch_grad(rnd(wg / s) + z, 0, max_int)
+    return ((q - z) * s).reshape(k, n)
+
+
 def quantize_int(
     w: jnp.ndarray, n_bit: int, group_size: int = 128
 ) -> tuple[jnp.ndarray, GroupQuantParams]:
@@ -200,21 +230,13 @@ def _nf3_round_neg(q: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def fake_quant_nf3(
-    w: jnp.ndarray, group_size: int = 128, *, ste: bool = True
-) -> jnp.ndarray:
-    """Two-scale NF3 fake quantization (quantizer.py:184-242).
-
-    Positive entries are scaled by |group max|, negative by |group min|, each
-    snapped to its codebook side, then recombined. With ste=True gradients pass
-    straight through the snapping (detach trick, quantizer.py:238-242).
-    """
-    wg, orig_shape = _to_groups(w, group_size)
+def _fake_quant_nf3_grouped(wg: jnp.ndarray, axis: int, ste: bool) -> jnp.ndarray:
+    """NF3 core on already-grouped weights; `axis` is the group dimension."""
     # reference SteN2F3Quantizer does not detach max/min (quantizer.py:196-204):
     # with ste=True gradients flow through the scales as well
     stats = wg if ste else jax.lax.stop_gradient(wg)
-    scale_pos = jnp.abs(stats.max(axis=-1, keepdims=True))
-    scale_neg = jnp.abs(stats.min(axis=-1, keepdims=True))
+    scale_pos = jnp.abs(stats.max(axis=axis, keepdims=True))
+    scale_neg = jnp.abs(stats.min(axis=axis, keepdims=True))
     x_pos = jnp.where(wg >= 0, wg, 0.0)
     x_neg = jnp.where(wg < 0, wg, 0.0)
     # NB: reference divides without epsilon; scale can be 0 for an all-negative
@@ -229,8 +251,34 @@ def fake_quant_nf3(
     if ste:
         r_pos = ste_passthrough(r_pos, q_pos)
         r_neg = ste_passthrough(r_neg, q_neg)
-    out = r_pos * scale_pos + r_neg * scale_neg
-    return out.reshape(orig_shape)
+    return r_pos * scale_pos + r_neg * scale_neg
+
+
+def fake_quant_nf3(
+    w: jnp.ndarray, group_size: int = 128, *, ste: bool = True
+) -> jnp.ndarray:
+    """Two-scale NF3 fake quantization (quantizer.py:184-242).
+
+    Positive entries are scaled by |group max|, negative by |group min|, each
+    snapped to its codebook side, then recombined. With ste=True gradients pass
+    straight through the snapping (detach trick, quantizer.py:238-242).
+    """
+    wg, orig_shape = _to_groups(w, group_size)
+    return _fake_quant_nf3_grouped(wg, -1, ste).reshape(orig_shape)
+
+
+def fake_quant_nf3_kaxis(
+    w: jnp.ndarray, group_size: int = 128, *, ste: bool = True
+) -> jnp.ndarray:
+    """fake_quant_nf3 for [K, N] weights with groups along K — bit-identical
+    to `fake_quant_nf3(w.T).T` without the two physical transposes."""
+    k, n = w.shape
+    if group_size <= 0:
+        group_size = k
+    if k % group_size != 0:
+        raise ValueError(f"K dim {k} not divisible by group size {group_size}")
+    wg = w.reshape(k // group_size, group_size, n)
+    return _fake_quant_nf3_grouped(wg, 1, ste).reshape(k, n)
 
 
 def quantize_nf3(
@@ -326,11 +374,23 @@ def make_weight_quantizer(quant_type: str, group_size: int = 128):
     AutoClip objective, packing) MUST use this wrapper so they all share one
     quantization grid.
     """
-    q = make_fake_quantizer(quant_type, group_size)
     from jax.ad_checkpoint import checkpoint_name
 
     # the name lets a remat policy SAVE the fake-quantized weights instead of
     # recomputing the quantization in the backward pass (TrainConfig
     # remat_policy="save_quantized"; ~4% step time at 0.5B bs 2, measured);
     # outside jax.checkpoint it is a no-op
+    if quant_type.startswith("int") and quant_type.endswith("-asym"):
+        # transpose-free K-axis grouping (bit-identical; saves two physical
+        # transposes of every weight on every QAT forward)
+        n_bit = int(quant_type[3:-5])
+        return lambda w: checkpoint_name(
+            fake_quant_int_kaxis(w, n_bit, group_size, ste=True), "qweight"
+        )
+    if quant_type in ("ste-n2f3", "nf3"):
+        ste = quant_type == "ste-n2f3"
+        return lambda w: checkpoint_name(
+            fake_quant_nf3_kaxis(w, group_size, ste=ste), "qweight"
+        )
+    q = make_fake_quantizer(quant_type, group_size)
     return lambda w: checkpoint_name(q(w.T).T, "qweight")

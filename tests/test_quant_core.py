@@ -279,3 +279,58 @@ def test_make_weight_quantizer_groups_along_K(rng):
     # and it differs from (wrong) N-axis grouping
     wrong = fake_quant_int(w, 2, 4, ste=True)
     assert not np.allclose(np.asarray(out), np.asarray(wrong))
+
+
+@pytest.mark.parametrize("ste", [False, True])
+@pytest.mark.parametrize("n_bit", [2, 3])
+def test_fake_quant_int_kaxis_bitwise_matches_transposed(rng, ste, n_bit):
+    """The transpose-free K-axis variant must be bit-identical (values AND
+    gradients) to fake_quant_int(w.T).T — they share one quantization grid."""
+    from bitdistiller_tpu.quant.core import fake_quant_int_kaxis
+
+    K, N, G = 256, 12, 64
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    got = fake_quant_int_kaxis(w, n_bit, G, ste=ste)
+    want = fake_quant_int(w.T, n_bit, G, ste=ste).T
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    if ste:
+        co = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+        g_got = jax.grad(
+            lambda w: jnp.sum(fake_quant_int_kaxis(w, n_bit, G, ste=True) * co)
+        )(w)
+        g_want = jax.grad(
+            lambda w: jnp.sum(fake_quant_int(w.T, n_bit, G, ste=True).T * co)
+        )(w)
+        np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
+
+
+@pytest.mark.parametrize("ste", [False, True])
+def test_fake_quant_nf3_kaxis_bitwise_matches_transposed(rng, ste):
+    from bitdistiller_tpu.quant.core import fake_quant_nf3_kaxis
+
+    K, N, G = 256, 12, 64
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    got = fake_quant_nf3_kaxis(w, G, ste=ste)
+    want = fake_quant_nf3(w.T, G, ste=ste).T
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    if ste:
+        co = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+        g_got = jax.grad(
+            lambda w: jnp.sum(fake_quant_nf3_kaxis(w, G, ste=True) * co)
+        )(w)
+        g_want = jax.grad(
+            lambda w: jnp.sum(fake_quant_nf3(w.T, G, ste=True).T * co)
+        )(w)
+        np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
+
+
+def test_make_weight_quantizer_int_uses_same_grid_as_nf3_path(rng):
+    """make_weight_quantizer's int path (kaxis fast path) and the generic
+    q(w.T).T wrapper must produce identical outputs."""
+    from bitdistiller_tpu.quant.core import make_weight_quantizer
+
+    K, N, G = 128, 8, 64
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    fast = make_weight_quantizer("int2-asym", G)(w)
+    generic = make_fake_quantizer("int2-asym", G)(w.T).T
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(generic))
