@@ -143,14 +143,16 @@ def main():
     ap.add_argument("--horizon", type=int, default=16,
                     help="engine mode: decode steps per host sync")
     ap.add_argument("--prefill-len", type=int, default=512)
+    ap.add_argument("--train-bs", type=int, default=2,
+                    help="train mode: micro-batch size (reference recipe: 2)")
     ap.add_argument("--skip-short-row", action="store_true")
     args = ap.parse_args()
 
     if args.mode == "train":
         # KD-QAT step throughput: CAKLD (teacher fwd + student fwd/bwd with
         # fake-quant-on-forward + AdamW) at a ~0.5B config — the largest KD
-        # footprint (teacher bf16 + student f32 + Adam moments f32) that fits
-        # one 16 GB chip. Reference recipe: micro-bs 2 x seqlen 1024
+        # footprint (teacher bf16 + bf16 student latents + f32 master/Adam
+        # moments) that fits one 16 GB chip. Reference recipe: micro-bs 2 x seqlen 1024
         # (scripts/train/train.sh:29-37, per-device).
         from bitdistiller_tpu.models import ModelConfig, init_params
         from bitdistiller_tpu.train import TrainConfig, init_train_state, make_train_step
@@ -165,19 +167,18 @@ def main():
             num_kv_heads=16 if full else 4,
             max_position_embeddings=2048,
         )
-        seq, bsz = (1024, 2) if full else (32, 2)
+        seq, bsz = (1024, args.train_bs) if full else (32, args.train_bs)
         tc = TrainConfig(quant_type=f"int{args.bits}-asym" if args.bits != 3 else "ste-n2f3",
                          q_group_size=128 if full else 32, kd_loss_type="cakld",
                          gradient_checkpointing=True)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
         # one jitted build: eager init is a remote compile per op on the relay
-        def _build(k):
-            p = init_params(cfg, k, dtype=jnp.bfloat16)
-            return p, jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p)
-
-        teacher, student = jax.jit(_build)(jax.random.key(0))
-        state = init_train_state(student, tc)
+        teacher = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(
+            jax.random.key(0)
+        )
+        # init_train_state copies into bf16 latents + f32 master/moments
+        state = init_train_state(teacher, tc)
         # teacher rides as an ARGUMENT: closed-over params are baked into the
         # HLO as constants (minutes of serialization + relay re-upload)
         step = jax.jit(make_train_step(cfg, tc), donate_argnums=(0,))

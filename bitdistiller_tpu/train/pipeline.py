@@ -109,9 +109,12 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         params, cfg = load_hf_checkpoint(args.model_name_or_path, dtype=jnp.float32)
     else:
         params, cfg = model
+    student_src = params
     if args.clip:
         logger.info("applying clip cache %s", args.clip)
-        params = apply_clip_cache(params, load_clip_cache(args.clip))
+        # the clip cache shapes the QAT *student* only (train.py:450-458);
+        # the teacher stays the unclipped full-precision model (:461-475)
+        student_src = apply_clip_cache(params, load_clip_cache(args.clip))
 
     train_ds = SupervisedDataset.from_jsonl(
         args.data_path, tok.eos_token, args.max_train_samples, "train", args.seed
@@ -155,8 +158,31 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
     # specs derived from the actual param tree -> correct for every family
     specs = param_specs_from_params(params, fsdp_axis="dp" if zero_stage >= 3 else None)
     with jax.set_mesh(mesh):
-        teacher = shard_params(params, mesh, specs) if tc.train_kd else None
-        student = teacher if teacher is not None else shard_params(params, mesh, specs)
+        teacher = None
+        if tc.train_kd:
+            from jax.sharding import NamedSharding
+
+            teacher = shard_params(params, mesh, specs)
+            # teacher rides in the compute dtype (bf16, train.py:461-475);
+            # forward casts weights to the activation dtype anyway, so this
+            # only halves the teacher's HBM footprint and read traffic
+            t_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+            )
+            cdt = jnp.dtype(cfg.dtype)
+            teacher = jax.jit(
+                lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(cdt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t),
+                out_shardings=t_shardings,
+            )(teacher)
+        if args.clip or teacher is None:
+            student = shard_params(student_src, mesh, specs)
+        else:
+            # unclipped KD: student starts from the same weights; the train
+            # state makes its own (latent-dtype) copy, so sharing is safe
+            student = teacher
         state = init_train_state(
             student, tc, mesh=mesh, param_spec_tree=specs, zero_stage=zero_stage
         )
@@ -252,9 +278,12 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
                                   eval_step=eval_step_fn)
                     logger.info("eval loss %.4f", ev)
 
-        # final consolidated save (HF format, train.py:139-145 parity)
+        # final consolidated save (HF format, train.py:139-145 parity) — from
+        # the f32 master copy when the optimizer keeps one (bf16 latents)
+        from .trainer import master_params
+
         final = jax.tree_util.tree_map(
-            lambda x: np.asarray(x, dtype=np.float32), state.params
+            lambda x: np.asarray(x, dtype=np.float32), master_params(state)
         )
         if metrics_f is not None:
             metrics_f.close()

@@ -15,7 +15,7 @@ Reference parity (train/train.py:378-525, mytrainer.py:81-241):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,13 @@ class TrainConfig:
     # fake-quantized weights live (faster, one extra weight copy of memory)
     remat_policy: str = "full"
     kd_loss_scale: float = 1.0
+    # latent (trained) weight dtype. "bfloat16" matches the reference: the
+    # student is loaded in bf16 (train/train.py:394-397) and DeepSpeed's bf16
+    # mode keeps f32 master weights in the optimizer (train/config/zero.json)
+    # — here via with_f32_master. Measured at 0.5B bs 2x1024: 195 -> 166
+    # ms/step vs f32 latents (the fake-quant pass reads half the bytes).
+    # "float32" = f32 latents, no master copy.
+    param_dtype: str = "bfloat16"
 
 
 def make_quantizer(tc: TrainConfig):
@@ -81,6 +88,46 @@ def make_schedule(tc: TrainConfig):
     return optax.constant_schedule(tc.learning_rate)
 
 
+class MasterWeightsState(NamedTuple):
+    """f32 master copy of the latent params + the wrapped optimizer's state."""
+
+    master: Any
+    inner: Any
+
+
+def with_f32_master(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Mixed-precision updates: bf16 latent params in the forward, f32 master
+    weights + f32 gradient math in the optimizer (DeepSpeed bf16-mode
+    semantics, train/config/zero.json — grads/moments/master in fp32).
+
+    The emitted update is the f32 delta that lands the latent on the rounded
+    master; make_train_step instead reads `state.master` directly so the
+    latent is exactly round(master) every step. `init` only tree_maps over
+    the params, so optax.tree_map_params (ZeRO spec derivation,
+    parallel/mesh.py:opt_state_specs) sees the master as param-shaped.
+    """
+
+    def init(params):
+        master = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            params,
+        )
+        return MasterWeightsState(master=master, inner=inner.init(master))
+
+    def update(updates, state, params=None):
+        g32 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), updates)
+        upd, inner_state = inner.update(g32, state.inner, state.master)
+        master = optax.apply_updates(state.master, upd)
+        delta = jax.tree_util.tree_map(
+            lambda m, p: m - p.astype(jnp.float32), master, params
+        )
+        return delta, MasterWeightsState(master=master, inner=inner_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     opt = optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
@@ -93,7 +140,10 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         ),
     )
     if tc.grad_accum > 1:
+        # inside the master wrapper: gradient accumulation buffers live in f32
         opt = optax.MultiSteps(opt, every_k_schedule=tc.grad_accum)
+    if jnp.dtype(tc.param_dtype) != jnp.float32:
+        opt = with_f32_master(opt)
     return opt
 
 
@@ -129,31 +179,58 @@ def init_train_state(
     moments inherit that sharding.
     """
     opt = make_optimizer(tc)
-    # optimizer state in f32 even for bf16 params
-    f32_params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params,
-    )
+    latent_dtype = jnp.dtype(tc.param_dtype)
+
+    def _to_latent(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(latent_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    # jitted cast: one executable (not a remote compile per leaf on a relay)
+    # AND guaranteed-fresh output buffers — the train step donates the state,
+    # so state.params must never alias the caller's tree (a same-dtype astype
+    # eagerly returns the same buffer, and the first donated step would
+    # delete the caller's teacher/params)
+    if mesh is not None and param_spec_tree is not None:
+        from jax.sharding import NamedSharding
+
+        latent_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), param_spec_tree,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+        )
+        latent = jax.jit(_to_latent, out_shardings=latent_shardings)(params)
+    else:
+        latent = jax.jit(_to_latent)(params)
     if mesh is not None and param_spec_tree is not None and zero_stage >= 2:
         from jax.sharding import NamedSharding
 
         from ..parallel.mesh import opt_state_specs
 
         specs = opt_state_specs(
-            opt, f32_params, param_spec_tree, mesh.shape["dp"], zero_stage
+            opt, latent, param_spec_tree, mesh.shape["dp"], zero_stage
         )
         out_shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(mesh, s), specs,
             is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
         )
-        opt_state = jax.jit(opt.init, out_shardings=out_shardings)(f32_params)
+        opt_state = jax.jit(opt.init, out_shardings=out_shardings)(latent)
     else:
-        # jitted: eager per-leaf zeros_like is one remote compile PER LEAF on
-        # a TPU relay attachment
-        opt_state = jax.jit(opt.init)(f32_params)
+        opt_state = jax.jit(opt.init)(latent)
     return TrainState(
-        params=f32_params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+        params=latent, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
     )
+
+
+def master_params(state: TrainState):
+    """The highest-precision trained weights: the f32 master copy when the
+    optimizer keeps one (param_dtype != float32), else the params themselves.
+    Use for final checkpoint saves (train.py:139-145 consolidated save)."""
+    if isinstance(state.opt_state, MasterWeightsState):
+        return state.opt_state.master
+    return state.params
 
 
 def make_train_step(
@@ -224,8 +301,19 @@ def make_train_step(
         t = teacher if teacher is not None else teacher_params
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, beta, t)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        if isinstance(new_opt, MasterWeightsState):
+            # latent = round(master) exactly (the delta-form apply_updates
+            # would land within 1 ulp; re-deriving avoids any drift)
+            new_params = jax.tree_util.tree_map(
+                lambda m, p: m.astype(p.dtype), new_opt.master, state.params
+            )
+        else:
+            new_params = optax.apply_updates(state.params, updates)
+        # norm accumulated in f32 (bf16 squares would overflow/underflow; the
+        # cast fuses into the reduce, no extra HBM pass)
+        gnorm = optax.global_norm(
+            jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        )
         return (
             TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
             {"loss": loss, "grad_norm": gnorm},

@@ -125,6 +125,72 @@ def test_full_training_pipeline(tmp_path, tiny):
     assert cfg2.num_layers == cfg.num_layers
 
 
+def test_kd_teacher_is_unclipped(tmp_path, tiny, monkeypatch):
+    """The clip cache shapes the QAT student only; the KD teacher must stay
+    the unclipped full-precision model (train.py:450-458 clips the student,
+    :461-475 loads the teacher fresh)."""
+    from bitdistiller_tpu.quant.autoclip import (
+        apply_clip_cache,
+        load_clip_cache,
+        run_autoclip,
+        save_clip_cache,
+    )
+    from bitdistiller_tpu.train import pipeline as pl
+
+    cfg, params = tiny
+    calib = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 32)).astype(np.int32)
+    clip = run_autoclip(params, cfg, calib, quant_type="int", n_bit=2, group_size=64,
+                        n_sample_token=32, apply=False)["clip"]
+    # force a big shrink so clipped weights measurably differ from originals
+    clip = {
+        li: {name: (np.asarray(mx) * 0.3, np.asarray(mn) * 0.3)
+             for name, (mx, mn) in layer.items()}
+        for li, layer in clip.items()
+    }
+    clip_path = str(tmp_path / "clip.npz")
+    save_clip_cache(clip_path, clip)
+    clipped = apply_clip_cache(params, load_clip_cache(clip_path))
+
+    captured = {}
+    real_beta = pl.estimate_cakld_beta
+
+    def spy(teacher, cfg_, batches, jit_fn=None):
+        captured["teacher"] = teacher
+        return real_beta(teacher, cfg_, batches, jit_fn=jit_fn)
+
+    monkeypatch.setattr(pl, "estimate_cakld_beta", spy)
+
+    data_path = tmp_path / "teacher.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(12):
+            f.write(json.dumps([[f"prompt {i} ", f"reply {i}"]]) + "\n")
+    args = types.SimpleNamespace(
+        model_name_or_path="unused", data_path=str(data_path),
+        output_dir=str(tmp_path / "out"),
+        bits=2, q_group_size=64, quant_type="int2-asym",
+        clip=clip_path, train_kd=True, kd_loss_type="cakld", cakld_steps=1,
+        learning_rate=1e-4, num_train_epochs=1,
+        per_device_train_batch_size=2, gradient_accumulation_steps=1,
+        model_max_length=32, max_train_samples=None,
+        lr_scheduler_type="constant", warmup_ratio=0.0,
+        save_steps=0, eval_steps=0, logging_steps=5, seed=0,
+        dp=None, tp=1, resume=False,
+    )
+    pl.run_training(args, tokenizer=FakeTok(), model=(params, cfg))
+
+    name = next(n for n in ("v", "o", "down") if n in clip[0])
+    t_w = np.asarray(captured["teacher"]["layers"][name]["w"], np.float32)
+    w0 = np.asarray(params["layers"][name]["w"], np.float32)
+    wc = np.asarray(clipped["layers"][name]["w"], np.float32)
+    mask = wc != w0
+    assert mask.any(), "forced clip cache did not change any weight"
+    # teacher ~= unclipped originals (bf16 cast tolerance), not the clipped tree
+    err_unclipped = np.abs(t_w[mask] - w0[mask]).max()
+    err_clipped = np.abs(t_w[mask] - wc[mask]).max()
+    assert err_unclipped < 0.01, err_unclipped
+    assert err_clipped > 5 * max(err_unclipped, 1e-6), (err_clipped, err_unclipped)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path, tiny):
     from bitdistiller_tpu.train.pipeline import restore_checkpoint, save_checkpoint
     from bitdistiller_tpu.train.trainer import TrainConfig, init_train_state

@@ -167,6 +167,77 @@ def test_nf3_kd_train_step(setup):
     assert losses[-1] < losses[0], losses
 
 
+def test_master_weights_latent_bf16(setup):
+    """Default param_dtype=bfloat16: latent params are bf16, the optimizer
+    keeps an f32 master, and after a step latent == round(master) exactly."""
+    from bitdistiller_tpu.train import MasterWeightsState
+
+    cfg, teacher, student, tc, batch = setup
+    state = init_train_state(student, tc)
+    assert isinstance(state.opt_state, MasterWeightsState)
+    assert state.params["layers"]["q"]["w"].dtype == jnp.bfloat16
+    assert state.opt_state.master["layers"]["q"]["w"].dtype == jnp.float32
+    step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher))
+    state2, metrics = step(state, batch, jnp.asarray(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+    jax.tree_util.tree_map(
+        lambda m, p: np.testing.assert_array_equal(
+            np.asarray(m.astype(p.dtype)), np.asarray(p)
+        ),
+        state2.opt_state.master,
+        state2.params,
+    )
+
+
+def test_master_weights_accumulate_sub_ulp_updates(setup):
+    """Updates far below one bf16 ulp must accumulate in the f32 master (the
+    whole point of DeepSpeed-style master weights at lr ~1e-6)."""
+    cfg, teacher, student, _, batch = setup
+    tc = TrainConfig(
+        quant_type="int2-asym", q_group_size=64, kd_loss_type="cakld",
+        learning_rate=1e-9, total_steps=4, gradient_checkpointing=True,
+    )
+    state = init_train_state(student, tc)
+    m0 = np.asarray(state.opt_state.master["layers"]["q"]["w"], np.float64)
+    step = jax.jit(make_train_step(cfg, tc, teacher_params=teacher))
+    for _ in range(3):
+        state, _ = step(state, batch, jnp.asarray(0.5))
+    m1 = np.asarray(state.opt_state.master["layers"]["q"]["w"], np.float64)
+    assert np.abs(m1 - m0).max() > 0  # master moved
+    # and the master's movement is far below one bf16 ulp of the weights
+    assert np.abs(m1 - m0).max() < 1e-4
+
+
+def test_param_dtype_float32_keeps_plain_state(setup):
+    from bitdistiller_tpu.train import MasterWeightsState
+
+    cfg, teacher, student, tc, batch = setup
+    import dataclasses
+
+    tc32 = dataclasses.replace(tc, param_dtype="float32")
+    state = init_train_state(student, tc32)
+    assert not isinstance(state.opt_state, MasterWeightsState)
+    assert state.params["layers"]["q"]["w"].dtype == jnp.float32
+    step = jax.jit(make_train_step(cfg, tc32, teacher_params=teacher))
+    state, metrics = step(state, batch, jnp.asarray(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_init_train_state_never_aliases_input(setup):
+    """state.params must be fresh buffers: the train step donates the state,
+    and an aliased input tree would be deleted by the first donated step
+    (same-dtype astype returns the same buffer eagerly)."""
+    import dataclasses
+
+    cfg, teacher, student, tc, batch = setup
+    tc32 = dataclasses.replace(tc, param_dtype="float32")  # same-dtype cast path
+    state = init_train_state(student, tc32)
+    step = jax.jit(make_train_step(cfg, tc32), donate_argnums=(0,))
+    state, _ = step(state, batch, jnp.asarray(0.5), teacher)
+    # the caller's tree is still alive and readable
+    assert np.isfinite(np.asarray(student["layers"]["q"]["w"], np.float32)).all()
+
+
 def test_remat_policy_save_quantized_identical(setup):
     """remat_policy='save_quantized' only changes WHAT the backward saves —
     loss and gradients must be bit-identical to the full-recompute policy."""
