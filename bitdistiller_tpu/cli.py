@@ -90,9 +90,12 @@ def cmd_ppl(args):
     blocks = prepare_blocks(tokens, args.seqlen)
     quantizer = None
     if args.quant_type:
+        # PTQ rounding (torch.round banker's) — the reference eval paths
+        # pseudo-quantize with pseudo_quantize_tensor, NOT the STE quantizers
+        # (wiki_ppl.py:46-137, test_utils.py:68-85)
         name = args.quant_type
         if name == "int":
-            name = f"int{args.w_bit}-asym"
+            name = f"int{args.w_bit}"
         q = make_fake_quantizer(name, args.q_group_size)
         quantizer = lambda w: q(w.T).T  # group along K of [K, N] weights
     ppl = perplexity(
@@ -197,7 +200,8 @@ def cmd_eval(args):
     tok = _load_tokenizer(args.model_path)
     quantizer = None
     if args.quant_type:
-        name = args.quant_type if args.quant_type != "int" else f"int{args.w_bit}-asym"
+        # PTQ rounding, as in the reference task-eval path (test_utils.py:68-85)
+        name = args.quant_type if args.quant_type != "int" else f"int{args.w_bit}"
         q = make_fake_quantizer(name, args.q_group_size)
         quantizer = lambda w: q(w.T).T
     tasks = args.tasks.split(",")

@@ -345,8 +345,10 @@ def dequantize_nf3(
 def make_fake_quantizer(quant_type: str, group_size: int = 128):
     """Return fn(w) -> fake-quantized w for a registry name.
 
-    Names: 'int2-asym', 'int3-asym', 'int4-asym', 'ste-n2f3' (QAT, STE grads)
-    and 'int'/'nf3' PTQ aliases used by eval (test/test_utils.py:68-85).
+    QAT names (STE grads, round-half-away like the reference Ste* quantizers):
+    'int2-asym', 'int3-asym', 'int4-asym', 'ste-n2f3'. PTQ/eval names
+    (torch.round banker's rounding, no grad — pseudo_quantize_tensor /
+    test/test_utils.py:68-85 semantics): 'int2', 'int3', 'int4', 'nf3'.
     """
     if quant_type == "ste-n2f3":
         return functools.partial(fake_quant_nf3, group_size=group_size, ste=True)
@@ -355,11 +357,14 @@ def make_fake_quantizer(quant_type: str, group_size: int = 128):
     if quant_type.startswith("int") and quant_type.endswith("-asym"):
         n_bit = int(quant_type[3:-5])
         return functools.partial(fake_quant_int, n_bit=n_bit, group_size=group_size, ste=True)
+    if quant_type.startswith("int") and quant_type[3:].isdigit():
+        n_bit = int(quant_type[3:])
+        return functools.partial(fake_quant_int, n_bit=n_bit, group_size=group_size, ste=False)
     if quant_type == "int":
-        raise ValueError("'int' requires explicit n_bit: use fake_quant_int directly")
+        raise ValueError("'int' requires explicit n_bit: use 'int2'/'int3'/'int4'")
     raise ValueError(
         f"unknown quant_type {quant_type!r}; expected one of "
-        "['int{k}-asym', 'ste-n2f3', 'nf3']"
+        "['int{k}-asym', 'ste-n2f3'] (QAT) or ['int{k}', 'nf3'] (PTQ)"
     )
 
 

@@ -14,7 +14,6 @@ import pytest
 
 from bitdistiller_tpu.eval.ppl import perplexity
 from bitdistiller_tpu.models import ModelConfig, forward, init_params
-from bitdistiller_tpu.quant import make_fake_quantizer
 from bitdistiller_tpu.train import TrainConfig, init_train_state, make_train_step
 
 CFG = ModelConfig(
@@ -52,8 +51,12 @@ def test_cakld_qat_improves_quantized_student():
     teacher_ppl = perplexity(teacher, CFG, eval_blocks, batch_size=8)
     assert teacher_ppl < 3.0, f"teacher failed to learn pattern: ppl={teacher_ppl}"
 
-    # 2) int2 fake-quant destroys quality
-    quantizer = make_fake_quantizer("int2-asym", 32)
+    # 2) int2 fake-quant destroys quality. PTQ-rounding quantizer grouped
+    # along K of the [K, N] weights — the same grid QAT trains against and
+    # the CLI eval path uses (llama.forward applies it to [K, N] directly)
+    from bitdistiller_tpu.quant.core import fake_quant_int_kaxis
+
+    quantizer = lambda w: fake_quant_int_kaxis(w, 2, 32, ste=False)
     ptq_ppl = perplexity(teacher, CFG, eval_blocks, quantizer=quantizer, batch_size=8)
     assert ptq_ppl > teacher_ppl * 1.05, (teacher_ppl, ptq_ppl)
 

@@ -176,11 +176,21 @@ def test_packed_linear_dequant_matches_fake_quant(rng, bits):
 
 def test_make_fake_quantizer_registry():
     w = jnp.ones((2, 128))
-    for name in ["int2-asym", "int3-asym", "ste-n2f3", "nf3"]:
+    for name in ["int2-asym", "int3-asym", "ste-n2f3", "nf3", "int2", "int3"]:
         fn = make_fake_quantizer(name, 128)
         assert fn(w).shape == w.shape
-    with pytest.raises(ValueError):
-        make_fake_quantizer("bogus")
+    for bogus in ["bogus", "int"]:
+        with pytest.raises(ValueError):
+            make_fake_quantizer(bogus)
+
+
+def test_ptq_registry_names_use_bankers_rounding(rng):
+    """'int2' (PTQ/eval) must reproduce torch.round semantics; 'int2-asym'
+    (QAT) rounds half-away — the reference's pseudo_quantize vs Ste split."""
+    w = rng.standard_normal((4, 128)).astype(np.float32)
+    got = np.asarray(make_fake_quantizer("int2", 64)(jnp.asarray(w)))
+    want = torch_fake_quant_int(torch.from_numpy(w), 2, 64, half_away=False).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
 # ---------------------------------------------------------------------------
