@@ -279,8 +279,37 @@ def _round_up(v: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _materialize_min_m() -> int:
+    import os
+
+    return int(os.environ.get("BITDISTILLER_QMM_MATERIALIZE_M", "0") or 0)
+
+
+def quant_matmul_materialize(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
+    """Dequantize the whole weight to bf16 once, then a plain XLA matmul.
+
+    At large M the fused kernel re-unpacks the weight for every M-block
+    (grid M/bm x N/bn x K-steps); materializing pays one unpack + one bf16
+    weight round-trip instead and lets the MXU run a stock GEMM.
+    """
+    from ..quant.packing import dequantize_linear
+
+    w = dequantize_linear(p).astype(jnp.bfloat16)
+    out = x.reshape(-1, p.in_features) @ w
+    if p.bias is not None:
+        out = out + p.bias.astype(out.dtype)
+    return out.reshape(*x.shape[:-1], p.out_features)
+
+
 def quant_matmul(x: jnp.ndarray, p: PackedLinear, *, use_pallas: bool | None = None):
-    """Packed matmul; picks the Pallas kernel on TPU, XLA path elsewhere."""
+    """Packed matmul; picks the Pallas kernel on TPU, XLA path elsewhere.
+
+    BITDISTILLER_QMM_MATERIALIZE_M=<M> (experiment flag) routes calls with
+    at least M rows through quant_matmul_materialize.
+    """
+    mm = _materialize_min_m()
+    if mm and x.size // p.in_features >= mm:
+        return quant_matmul_materialize(x, p)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:

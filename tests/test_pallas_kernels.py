@@ -66,6 +66,44 @@ def test_qmm_interpret_with_scales():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_quant_matmul_materialize_matches_xla():
+    """The large-M materialize path (dequant once + bf16 GEMM) must agree
+    with the XLA reference up to bf16 weight rounding."""
+    from bitdistiller_tpu.ops.quant_matmul import quant_matmul_materialize
+    from bitdistiller_tpu.quant.packing import quantize_pack_linear
+
+    k, n, m = 256, 128, 64
+    w = jax.random.normal(jax.random.key(0), (k, n), jnp.float32)
+    p = quantize_pack_linear(w, 2, 128)
+    x = jax.random.normal(jax.random.key(1), (m, k), jnp.float32)
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+    got = np.asarray(quant_matmul_materialize(x, p), np.float32)
+    want = np.asarray(quant_matmul_xla(x, p), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
+def test_quant_matmul_materialize_env_dispatch(monkeypatch):
+    import importlib
+
+    # ops/__init__ re-exports the quant_matmul FUNCTION, shadowing the
+    # submodule attribute — resolve the module explicitly
+    qm = importlib.import_module("bitdistiller_tpu.ops.quant_matmul")
+    from bitdistiller_tpu.quant.packing import quantize_pack_linear
+
+    w = jax.random.normal(jax.random.key(0), (256, 128), jnp.float32)
+    p = quantize_pack_linear(w, 2, 128)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 256), jnp.float32)
+    monkeypatch.setenv("BITDISTILLER_QMM_MATERIALIZE_M", "32")
+    out = qm.quant_matmul(x, p)  # 32 rows >= threshold -> materialize path
+    assert out.shape == (2, 16, 128)
+    monkeypatch.setenv("BITDISTILLER_QMM_MATERIALIZE_M", "")
+    out2 = qm.quant_matmul(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out2, np.float32),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(out2).max()),
+    )
+
+
 def test_fused_mlp_interpret_matches_composed():
     k, ffn, d = 256, 512, 256
     gate, gc = mk_packed(jax.random.key(0), k, ffn, 2)
