@@ -142,6 +142,9 @@ def main():
     ap.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
     ap.add_argument("--horizon", type=int, default=16,
                     help="engine mode: decode steps per host sync")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="engine mode: speculative round pipelining (for "
+                    "direct-attached hosts; regresses on the relay)")
     ap.add_argument("--prefill-len", type=int, default=512)
     ap.add_argument("--train-bs", type=int, default=2,
                     help="train mode: micro-batch size (reference recipe: 2)")
@@ -267,6 +270,7 @@ def main():
             sampling=SamplingParams(temperature=0.0), eos_token_id=None,
             decode_horizon=args.horizon,
             cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+            pipeline_rounds=args.pipeline,
         )
         prompts = [
             list(rng.integers(0, cfg.vocab_size, (64,))) for _ in range(args.batch * 2)

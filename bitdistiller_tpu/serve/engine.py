@@ -71,6 +71,7 @@ class Engine:
         rep_window: int = 128,
         seed: int = 0,
         decode_horizon: int = 8,
+        pipeline_rounds: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -100,6 +101,15 @@ class Engine:
         # engine throughput on hardware). EOS overshoot within a horizon is
         # truncated on the host.
         self.horizon = max(decode_horizon, 1)
+        # pipeline_rounds: dispatch the next decode horizon speculatively
+        # before fetching the previous round's tokens, hiding the per-round
+        # device->host sync behind compute. Built for real TPU hosts
+        # (microsecond syncs, in-process dispatch). Default OFF: on the axon
+        # relay the chained donation of the KV cache measurably REGRESSES
+        # E2E (0.55x -> 0.23x of raw; the relay appears to fall off the
+        # in-place-donation fast path when the donated buffer is itself an
+        # unfetched output) — re-measure on direct-attached hardware.
+        self.pipeline_rounds = pipeline_rounds
 
         self._prefill = jax.jit(self._prefill_impl)
         # cache donated: in-place KV update (an undonated step would copy —
@@ -259,91 +269,134 @@ class Engine:
             self._active_dirty = True
             self.slot_req[slot] = None
 
+    def _dispatch_decode(self, steps: int):
+        """Dispatch one decode horizon; returns the device token block
+        [steps, B]. No sync: cur_tokens/lengths advance on device."""
+        toks, self.cache, self.prev_tokens, self.key = self._decode(
+            self.params,
+            self.cache,
+            self.cur_tokens,
+            self._lengths_dev,
+            self._active_dev,
+            self.prev_tokens,
+            self.key,
+            steps=steps,
+        )
+        self.cur_tokens = toks[-1]  # device-side, no sync
+        # device lengths advance uniformly for dispatch-active slots;
+        # host lengths advance at processing time (skipping finished slots —
+        # divergence on inactive slots is masked and reset at admission)
+        self._lengths_dev = self._lengths_dev + steps * self._active_dev
+        return toks
+
     def run(self, requests: Iterable[Request]) -> list[Request]:
-        """Continuous-batching loop until all requests finish."""
+        """Continuous-batching loop until all requests finish.
+
+        Decode rounds are PIPELINED: when no host decision is pending (empty
+        admission queue, token budgets and cache headroom cover another full
+        horizon), round k+1 is dispatched speculatively BEFORE round k's
+        tokens are fetched — the device computes while the tokens cross the
+        device->host link and the host emits. A slot that turns out to have
+        finished in round k wastes at most one horizon of masked compute;
+        its speculative tokens are dropped exactly like EOS-overshoot within
+        a horizon.
+        """
         queue = list(requests)
         done: list[Request] = []
         pending = len(queue)
-        while pending:
-            # admit as many as fit, one batched prefill per admission round
-            admit_reqs, admit_slots = [], []
-            while queue:
-                slot = self._free_slot()
-                if slot is None or slot in admit_slots:
-                    break
-                admit_reqs.append(queue.pop(0))
-                admit_slots.append(slot)
-                self.active[slot] = True  # reserve while gathering
-            firsts_dev = None
-            if admit_reqs:
-                for s in admit_slots:
-                    self.active[s] = False  # _admit_group re-activates
-                # prefill/insert/sample are DISPATCHED but not synced: the
-                # decode horizon below queues right behind them and a single
-                # host read at the end collects first tokens + horizon tokens
-                firsts_dev = self._admit_group(admit_reqs, admit_slots)
-            if not self.active.any():
-                continue
-            # cache-overflow guard: a slot without room for even ONE more
-            # token ends (slots near the end instead shrink the horizon
-            # below). Newly admitted slots are skipped — their first token is
-            # still pending; the next round's guard catches them.
-            pending_first = set(admit_slots) if admit_reqs else set()
-            for i in range(self.max_slots):
-                if (
-                    self.active[i]
-                    and i not in pending_first
-                    and self.lengths[i] + 1 >= self.max_len
-                ):
-                    req = self.slot_req[i]
-                    req.finished = True
-                    req.finish_reason = "length"
-                    self.active[i] = False
-                    self._active_dirty = True
-                    self.slot_req[i] = None
-                    done.append(req)
-                    pending -= 1
-            if not self.active.any():
-                continue
-            # decode up to `horizon` steps for everyone, one host sync.
-            # Adaptive: if some active slot's token budget runs out sooner,
-            # shrink to the largest power-of-two horizon that fits — a slot
-            # finishing mid-horizon wastes every remaining step (EOS is
-            # unpredictable, the max_new budget is not). Power-of-two only,
-            # so compiles stay bounded.
-            min_rem = min(
-                self.slot_req[i].max_new_tokens
-                - len(self.slot_req[i].output_tokens)
-                - (1 if i in pending_first else 0)
-                for i in range(self.max_slots)
-                if self.active[i]
-            )
-            headroom = self.max_len - 1 - int(
-                max(self.lengths[i] for i in range(self.max_slots) if self.active[i])
-            )
-            steps = self.horizon
-            while steps > 1 and (steps > max(min_rem, 1) or steps > headroom):
-                steps //= 2
-            dispatch_active = self.active.copy()
-            if self._active_dirty:  # upload only when a slot started/finished
-                self._active_dev = jnp.asarray(dispatch_active)
-                self._active_dirty = False
-            t0 = time.time()
-            toks, self.cache, self.prev_tokens, self.key = self._decode(
-                self.params,
-                self.cache,
-                self.cur_tokens,
-                self._lengths_dev,
-                self._active_dev,
-                self.prev_tokens,
-                self.key,
-                steps=steps,
-            )
-            self.cur_tokens = toks[-1]  # device-side, no sync
-            # device lengths advance uniformly for dispatch-active slots;
-            # host lengths advance below (skipping finished-by-first slots —
-            # divergence on inactive slots is masked and reset at admission)
-            self._lengths_dev = self._lengths_dev + steps * self._active_dev
+        # a dispatched-but-unsynced decode round:
+        # (toks, steps, dispatch_active, firsts_dev, admit_reqs, admit_slots,
+        #  t0, chain_rem) — chain_rem = how many MORE horizons fit within
+        # every budget/headroom margin measured at real-dispatch time
+        inflight = None
+        while pending or inflight is not None:
+            if inflight is None:
+                # admit as many as fit, one batched prefill per admission round
+                admit_reqs, admit_slots = [], []
+                while queue:
+                    slot = self._free_slot()
+                    if slot is None or slot in admit_slots:
+                        break
+                    admit_reqs.append(queue.pop(0))
+                    admit_slots.append(slot)
+                    self.active[slot] = True  # reserve while gathering
+                firsts_dev = None
+                if admit_reqs:
+                    for s in admit_slots:
+                        self.active[s] = False  # _admit_group re-activates
+                    # prefill/insert/sample are DISPATCHED but not synced: the
+                    # decode horizon below queues right behind them and a single
+                    # host read at the end collects first + horizon tokens
+                    firsts_dev = self._admit_group(admit_reqs, admit_slots)
+                if not self.active.any():
+                    continue
+                # cache-overflow guard: a slot without room for even ONE more
+                # token ends (slots near the end instead shrink the horizon
+                # below). Newly admitted slots are skipped — their first token
+                # is still pending; the next round's guard catches them.
+                pending_first = set(admit_slots) if admit_reqs else set()
+                for i in range(self.max_slots):
+                    if (
+                        self.active[i]
+                        and i not in pending_first
+                        and self.lengths[i] + 1 >= self.max_len
+                    ):
+                        req = self.slot_req[i]
+                        req.finished = True
+                        req.finish_reason = "length"
+                        self.active[i] = False
+                        self._active_dirty = True
+                        self.slot_req[i] = None
+                        done.append(req)
+                        pending -= 1
+                if not self.active.any():
+                    continue
+                # decode up to `horizon` steps for everyone, one host sync.
+                # Adaptive: if some active slot's token budget runs out sooner,
+                # shrink to the largest power-of-two horizon that fits — a slot
+                # finishing mid-horizon wastes every remaining step (EOS is
+                # unpredictable, the max_new budget is not). Power-of-two only,
+                # so compiles stay bounded.
+                min_rem = min(
+                    self.slot_req[i].max_new_tokens
+                    - len(self.slot_req[i].output_tokens)
+                    - (1 if i in pending_first else 0)
+                    for i in range(self.max_slots)
+                    if self.active[i]
+                )
+                headroom = self.max_len - 1 - int(
+                    max(self.lengths[i] for i in range(self.max_slots) if self.active[i])
+                )
+                steps = self.horizon
+                while steps > 1 and (steps > max(min_rem, 1) or steps > headroom):
+                    steps //= 2
+                dispatch_active = self.active.copy()
+                if self._active_dirty:  # upload only when a slot changed
+                    self._active_dev = jnp.asarray(dispatch_active)
+                    self._active_dirty = False
+                t0 = time.time()
+                toks = self._dispatch_decode(steps)
+                chain_rem = min(min_rem, headroom) // steps - 1
+                inflight = (toks, steps, dispatch_active, firsts_dev,
+                            admit_reqs, admit_slots, t0, chain_rem)
+
+            (toks, steps, dispatch_active, firsts_dev, admit_reqs,
+             admit_slots, t0, chain_rem) = inflight
+            inflight = None
+            # speculate the next horizon BEFORE this round's sync: no first
+            # tokens pending and every budget/headroom margin covers it.
+            # Budget/length exits are host-predictable (the margins), so the
+            # only way a slot frees unexpectedly is EOS — with requests
+            # queued and EOS possible, cap the chain at depth 1 so admission
+            # is re-checked every other round (<= 1 round of added latency).
+            if self.pipeline_rounds and chain_rem >= 1 and firsts_dev is None:
+                t1 = time.time()
+                spec_toks = self._dispatch_decode(steps)
+                next_chain = chain_rem - 1
+                if queue and self.eos is not None:
+                    next_chain = 0
+                inflight = (spec_toks, steps, dispatch_active, None,
+                            [], [], t1, next_chain)
             # THE host sync of this round: first tokens + horizon tokens,
             # fetched together (separate np.asarray calls = two relay
             # round-trips; device_get batches the transfer)

@@ -152,3 +152,43 @@ def test_rep_penalty_window_resets_on_slot_reuse(tiny_engine):
     # all but the newly appended first token must be cleared to -1
     assert (window[:-1] == -1).all(), window
     assert window[-1] == firsts[0]
+
+
+def test_engine_pipelined_rounds_match_unpipelined(tiny_engine):
+    """Speculative round chaining must not change any emitted token: the
+    device op sequence is identical; only the host sync timing moves. Long
+    budgets force chain_rem >= 1 for most rounds."""
+    cfg, params = tiny_engine
+    outs = {}
+    for horizon in (1, 4):  # horizon 1 syncs every step (no useful chain)
+        eng = Engine(
+            params, cfg, max_slots=2, max_len=64,
+            sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+            decode_horizon=horizon, pipeline_rounds=True,
+        )
+        outs[horizon] = eng.generate([[3, 7, 11], [5, 2]], max_new_tokens=24)
+    assert outs[1] == outs[4], outs
+
+
+def test_engine_pipelined_speculation_dispatches(tiny_engine, monkeypatch):
+    """With an empty queue and wide budgets, most rounds must be dispatched
+    speculatively (before the previous round's sync)."""
+    cfg, params = tiny_engine
+    eng = Engine(
+        params, cfg, max_slots=1, max_len=128,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+        decode_horizon=4, pipeline_rounds=True,
+    )
+    calls = []
+    real = eng._dispatch_decode
+
+    def spy(steps):
+        calls.append(steps)
+        return real(steps)
+
+    monkeypatch.setattr(eng, "_dispatch_decode", spy)
+    out = eng.generate([[3, 7, 11]], max_new_tokens=33)[0]
+    assert len(out) == 33
+    # 1 first token + 32 horizon tokens -> exactly 8 rounds of 4: speculation
+    # must not over-dispatch beyond the budget margins
+    assert calls == [4] * 8, calls
