@@ -1,0 +1,252 @@
+"""On-device BitDistiller method demonstration on a genuinely-TRAINED model.
+
+No public checkpoints are reachable in this environment (zero egress), so the
+real-model quality proof (WikiText-2 PPL on LLaMA-2-7B, BASELINE.md) cannot
+run. This script is the strongest available substitute: it trains a small
+decoder to real quality on a structured synthetic language, then runs the
+COMPLETE reference pipeline (readme.md:1-12 stages) on-device:
+
+    RTN PTQ -> AutoClip -> teacher self-generation -> CAKLD KD-QAT -> pack
+
+and records held-out PPL after each stage in RESULTS.md. The claims being
+demonstrated are the method's, in miniature: sub-4-bit RTN destroys quality,
+clipping helps, KD-QAT recovers most of the gap, and the packed serving model
+reproduces the fake-quant numbers.
+
+Usage (TPU or CPU):  python scripts/method_demo.py --out RESULTS.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bitdistiller_tpu.eval.ppl import perplexity
+from bitdistiller_tpu.models import ModelConfig, init_params
+from bitdistiller_tpu.models.quantized import pack_model
+from bitdistiller_tpu.quant.autoclip import run_autoclip
+from bitdistiller_tpu.quant.core import fake_quant_int_kaxis, fake_quant_nf3_kaxis
+from bitdistiller_tpu.serve import Engine, SamplingParams
+from bitdistiller_tpu.train import (
+    TrainConfig,
+    estimate_cakld_beta,
+    init_train_state,
+    make_train_step,
+    master_params,
+)
+
+VOCAB = 256
+SEQ = 256
+
+
+def make_corpus(n_tokens: int, seed: int, table_seed: int = 7) -> np.ndarray:
+    """Order-2 Markov language: each (prev2, prev1) pair has a dominant next
+    symbol (p=0.85) plus 4 alternatives — learnable structure with entropy.
+    The transition TABLES come from table_seed (one fixed language); `seed`
+    only drives the sampled trajectory, so train/eval are held-out samples
+    of the SAME language."""
+    table_rng = np.random.default_rng(table_seed)
+    main = table_rng.integers(0, VOCAB, (VOCAB, VOCAB)).astype(np.int32)
+    alts = table_rng.integers(0, VOCAB, (VOCAB, VOCAB, 4)).astype(np.int32)
+    rng = np.random.default_rng(seed)
+    out = np.empty(n_tokens, np.int32)
+    out[0], out[1] = rng.integers(0, VOCAB, 2)
+    r = rng.random(n_tokens)
+    pick = rng.integers(0, 4, n_tokens)
+    for t in range(2, n_tokens):
+        a, b = out[t - 2], out[t - 1]
+        out[t] = main[a, b] if r[t] < 0.85 else alts[a, b, pick[t]]
+    return out
+
+
+def blocks_of(stream: np.ndarray) -> np.ndarray:
+    n = len(stream) // SEQ
+    return stream[: n * SEQ].reshape(n, SEQ)
+
+
+def batches_from_blocks(blocks: np.ndarray, bs: int, rng: np.random.Generator):
+    while True:
+        idx = rng.integers(0, len(blocks), bs)
+        toks = blocks[idx]
+        yield {
+            "input_ids": toks,
+            "labels": toks.copy(),
+            "attention_mask": np.ones_like(toks),
+        }
+
+
+def train_teacher(cfg, blocks, steps, bs, log):
+    tc = TrainConfig(quant_type=None, train_kd=False, learning_rate=3e-3,
+                     lr_scheduler="cosine", total_steps=steps,
+                     gradient_checkpointing=False, max_grad_norm=1.0)
+    params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc), donate_argnums=(0,))
+    it = batches_from_blocks(blocks, bs, np.random.default_rng(1))
+    t0 = time.time()
+    loss = None
+    for i in range(steps):
+        state, m = step(state, next(it), jnp.asarray(0.0), None)
+        if (i + 1) % max(steps // 5, 1) == 0:
+            loss = float(m["loss"])
+            log(f"  teacher step {i+1}/{steps} ce={loss:.3f} "
+                f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+    return master_params(state)
+
+
+def teacher_generate(params, cfg, prompts, max_new, log):
+    eng = Engine(params, cfg, max_slots=32, max_len=SEQ,
+                 sampling=SamplingParams(temperature=0.7, top_p=1.0),
+                 eos_token_id=None, decode_horizon=16)
+    t0 = time.time()
+    outs = eng.generate([list(map(int, p)) for p in prompts], max_new_tokens=max_new)
+    log(f"  teacher-gen: {len(prompts)} samples x {max_new} tokens "
+        f"in {time.time()-t0:.1f}s")
+    return outs
+
+
+def kd_qat(cfg, student_init, teacher, gen_pairs, quant_type, gsize, steps, bs, log):
+    tc = TrainConfig(quant_type=quant_type, q_group_size=gsize, train_kd=True,
+                     kd_loss_type="cakld", learning_rate=3e-4,
+                     lr_scheduler="constant", total_steps=steps,
+                     gradient_checkpointing=False)
+    prompts, gens = gen_pairs
+    plen, glen = len(prompts[0]), len(gens[0])
+    toks = np.concatenate([np.asarray(prompts, np.int32),
+                           np.asarray(gens, np.int32)], axis=1)
+    labels = toks.copy()
+    labels[:, :plen] = -100  # IGNORE prompt positions (collator semantics)
+    rng = np.random.default_rng(2)
+
+    def kd_batches():
+        while True:
+            idx = rng.integers(0, len(toks), bs)
+            yield {"input_ids": toks[idx], "labels": labels[idx],
+                   "attention_mask": np.ones((bs, plen + glen), np.int32)}
+
+    it = kd_batches()
+    beta = estimate_cakld_beta(teacher, cfg, [next(it) for _ in range(4)])
+    log(f"  CAKLD beta = {float(beta):.4f}")
+    state = init_train_state(student_init, tc)
+    step = jax.jit(make_train_step(cfg, tc), donate_argnums=(0,))
+    t0 = time.time()
+    for i in range(steps):
+        state, m = step(state, next(it), beta, teacher)
+        if (i + 1) % max(steps // 4, 1) == 0:
+            log(f"  qat[{quant_type}] step {i+1}/{steps} loss={float(m['loss']):.3f} "
+                f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+    return master_params(state)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--teacher-steps", type=int, default=1500)
+    ap.add_argument("--qat-steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--gen-samples", type=int, default=256)
+    ap.add_argument("--group-size", type=int, default=64)
+    ap.add_argument("--out", default="RESULTS.md")
+    args = ap.parse_args()
+    log = lambda s: print(s, file=sys.stderr, flush=True)
+
+    cfg = ModelConfig(vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+                      num_layers=6, num_heads=8, num_kv_heads=8,
+                      max_position_embeddings=SEQ)
+    G = args.group_size
+
+    log("building corpus...")
+    train_blocks = blocks_of(make_corpus(1_200_000, seed=7))
+    eval_blocks = blocks_of(make_corpus(64_000, seed=99))[:192]
+    calib_blocks = train_blocks[:16]
+
+    log(f"training teacher ({args.teacher_steps} steps)...")
+    teacher = train_teacher(cfg, train_blocks, args.teacher_steps, args.batch, log)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
+
+    def ppl(params, quantizer=None):
+        return perplexity(params, cfg, eval_blocks, quantizer=quantizer, batch_size=32)
+
+    teacher_ppl = ppl(teacher)
+    log(f"teacher ppl {teacher_ppl:.4f} ({n_params/1e6:.1f}M params)")
+
+    prompts = train_blocks[np.random.default_rng(3).integers(0, len(train_blocks),
+                                                             args.gen_samples)][:, :32]
+    gens = teacher_generate(teacher, cfg, prompts, max_new=128, log=log)
+
+    rows = []
+    for qt, label in [("int2-asym", f"int2-g{G}"), ("ste-n2f3", f"nf3-g{G}")]:
+        # PTQ-rounding eval quantizer on the K-axis grid (the grid QAT,
+        # AutoClip and packing share)
+        if qt == "int2-asym":
+            q_eval = lambda w: fake_quant_int_kaxis(w, 2, G, ste=False)
+            ac_type, nb = "int", 2
+        else:
+            q_eval = lambda w: fake_quant_nf3_kaxis(w, G, ste=False)
+            ac_type, nb = "nf3", 3
+        rtn_ppl = ppl(teacher, q_eval)
+        log(f"[{label}] RTN ppl {rtn_ppl:.4f}")
+        res = run_autoclip(teacher, cfg, calib_blocks, quant_type=ac_type,
+                           n_bit=nb, group_size=G, n_sample_token=512, apply=True,
+                           progress=lambda s: None)
+        clipped = res["params"]
+        clip_ppl = ppl(clipped, q_eval)
+        log(f"[{label}] AutoClip ppl {clip_ppl:.4f}")
+        qat = kd_qat(cfg, clipped, teacher, (prompts, gens), qt, G,
+                     args.qat_steps, 16, log)
+        qat_ppl = ppl(qat, q_eval)
+        log(f"[{label}] QAT ppl {qat_ppl:.4f}")
+        row = {"label": label, "rtn": rtn_ppl, "clip": clip_ppl, "qat": qat_ppl}
+        if qt == "int2-asym":
+            packed = pack_model(qat, cfg, bits=2, group_size=G, fuse=True)
+            row["packed"] = ppl(packed)
+            log(f"[{label}] packed ppl {row['packed']:.4f}")
+        rows.append(row)
+
+    recover = lambda r: (r["rtn"] - r["qat"]) / max(r["rtn"] - teacher_ppl, 1e-9)
+    lines = [
+        "# RESULTS — on-device method demonstration",
+        "",
+        "No public checkpoints are reachable here (zero egress), so this is the",
+        "method run end-to-end on a genuinely-trained model instead: a "
+        f"{n_params/1e6:.1f}M-param",
+        f"decoder trained {args.teacher_steps} steps on an order-2 Markov language "
+        f"(vocab {VOCAB}),",
+        "then RTN -> AutoClip -> teacher self-generation (engine, T=0.7) -> CAKLD",
+        f"KD-QAT ({args.qat_steps} steps) -> pack. Held-out PPL (192 x {SEQ}-token "
+        "blocks, PTQ",
+        "rounding, K-axis grid). Reproduce: `python scripts/method_demo.py`.",
+        "",
+        f"Teacher (bf16): **{teacher_ppl:.3f}** PPL",
+        "",
+        "| quant | RTN | +AutoClip | +CAKLD QAT | gap recovered | packed |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        packed = f"{r['packed']:.3f}" if "packed" in r else "—"
+        lines.append(
+            f"| {r['label']} | {r['rtn']:.3f} | {r['clip']:.3f} | {r['qat']:.3f} "
+            f"| {recover(r):.0%} | {packed} |"
+        )
+    lines += [
+        "",
+        f"Backend: {jax.devices()[0].platform}. Every stage runs the production",
+        "APIs (run_autoclip, Engine.generate, make_train_step with bf16 latents +",
+        "f32 master, pack_model, eval.ppl.perplexity).",
+        "",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    log(f"wrote {args.out}")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
