@@ -30,7 +30,13 @@ def linear(params, x: jnp.ndarray, quantizer: Quantizer = None) -> jnp.ndarray:
         return quant_matmul(x, params)
     w = params["w"]
     if quantizer is not None:
-        w = quantizer(w.astype(jnp.float32)).astype(x.dtype)
+        # quantize in the weight's OWN dtype: the reference QLinear runs the
+        # Ste* quantizer math on the bf16 student weights directly
+        # (qlinear.py:63-77 with the bf16 model of train.py:394-397), so
+        # bf16-latent QAT quantizing in bf16 is the faithful semantics — and
+        # skips an f32 materialization of every weight per forward. f32
+        # callers (PTQ eval on f32 imports) keep full-precision math.
+        w = quantizer(w).astype(x.dtype)
     else:
         w = w.astype(x.dtype)
     out = x @ w
