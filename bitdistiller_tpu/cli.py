@@ -307,6 +307,10 @@ def build_parser():
     tr.add_argument("--zero_stage", type=int, default=2, choices=[0, 2, 3],
                     help="0: replicated opt state; 2: dp-sharded Adam moments; "
                          "3: fsdp-sharded params + moments (zero3.json parity)")
+    tr.add_argument("--param_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="student latent dtype; bfloat16 keeps f32 master "
+                         "weights in the optimizer (DeepSpeed bf16 mode)")
     tr.add_argument("--coordinator_address", default=None,
                     help="host:port of process 0 for multi-host runs "
                          "(hostfile/torchrun parity; None = single process "

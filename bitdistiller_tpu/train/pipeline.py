@@ -145,6 +145,7 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         warmup_ratio=args.warmup_ratio,
         total_steps=max(total_micro // args.gradient_accumulation_steps, 1),
         grad_accum=args.gradient_accumulation_steps,
+        param_dtype=getattr(args, "param_dtype", "bfloat16"),
     )
 
     if jax.process_count() > 1:
