@@ -45,6 +45,9 @@ class ModelConfig:
     # falcon-style: attention and MLP both read the same norm, summed into
     # the residual in parallel (one norm per layer)
     parallel_block: bool = False
+    # falcon new_decoder_architecture (40B/180B): the parallel block carries
+    # TWO input norms — ln_attn feeds attention, ln_mlp feeds the MLP
+    parallel_mlp_norm: bool = False
     # mpt-style: ALiBi position bias instead of rotary embeddings
     alibi: bool = False
     use_rope: bool = True
@@ -86,16 +89,25 @@ class ModelConfig:
         model_type = cfg.get("model_type", "llama")
         if model_type == "falcon" or model_type == "RefinedWeb" or model_type == "RefinedWebModel":
             alibi = cfg.get("alibi", False)
+            n_head = cfg.get("num_attention_heads", cfg.get("n_head"))
+            # HF FalconConfig semantics (modeling_falcon.py): the 40B/180B
+            # "new" architecture has grouped kv heads + dual ln_attn/ln_mlp;
+            # the legacy "RefinedWeb" model_type is that same architecture.
+            new_arch = cfg.get("new_decoder_architecture", model_type == "RefinedWeb")
+            if new_arch:
+                n_kv = cfg.get("num_kv_heads", cfg.get("n_head_kv", 1))
+            elif cfg.get("multi_query", True):
+                n_kv = 1
+            else:
+                n_kv = n_head  # falcon-rw: full MHA (per-head fused qkv)
             return ModelConfig(
                 vocab_size=cfg["vocab_size"],
                 hidden_size=cfg["hidden_size"],
                 intermediate_size=cfg.get("ffn_hidden_size", 4 * cfg["hidden_size"]),
                 num_layers=cfg.get("num_hidden_layers", cfg.get("n_layer")),
-                num_heads=cfg.get("num_attention_heads", cfg.get("n_head")),
-                num_kv_heads=(
-                    1 if cfg.get("multi_query", True)
-                    else cfg.get("num_kv_heads", cfg.get("n_head_kv", 1))
-                ),
+                num_heads=n_head,
+                num_kv_heads=n_kv,
+                parallel_mlp_norm=new_arch,
                 rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
                 rope_theta=cfg.get("rope_theta", 10000.0),
                 max_position_embeddings=cfg.get("max_position_embeddings", 2048),

@@ -85,30 +85,55 @@ def _load_falcon(raw: dict, cfg: ModelConfig, dtype):
     """Falcon checkpoints (tiiuae/falcon-7b layout; reference
     inference/models/falcon.py, clip_utils.py get_blocks 'falcon' branch).
 
-    Fused query_key_value [(H+2)*dh, K] splits sequentially into q/k/v for the
-    multi-query (num_kv_heads=1) architecture. The 40B-style
-    new_decoder_architecture interleaves kv groups and is not supported yet.
+    The fused query_key_value weight has three layouts (HF
+    modeling_falcon.py `_split_heads`):
+    - multi-query (falcon-7b, num_kv_heads=1): sequential [H*dh | dh | dh]
+    - full-MHA (falcon-rw, multi_query=False): per-head interleave [H, 3, dh]
+    - new_decoder_architecture (40B/180B, cfg.parallel_mlp_norm): kv-grouped
+      interleave [Hkv, q_per_kv+2, dh], plus dual ln_attn/ln_mlp norms.
     """
-    if cfg.num_kv_heads not in (1, cfg.num_heads):
-        raise NotImplementedError(
-            "falcon new_decoder_architecture (grouped interleaved qkv) import"
-        )
     L = cfg.num_layers
-    dh = cfg.actual_head_dim
-    q_rows = cfg.num_heads * dh
-    kv_rows = cfg.num_kv_heads * dh
-    layers: dict = {n: [] for n in ("input_norm_w", "input_norm_b", "q", "k", "v", "o", "up", "down")}
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
+    q_rows = hq * dh
+    kv_rows = hkv * dh
+
+    def split_qkv(qkv):  # [(hq+2*hkv)*dh, K] -> q/k/v in model head order
+        kdim = qkv.shape[-1]
+        if cfg.parallel_mlp_norm:
+            q_per = hq // hkv
+            g = np.asarray(qkv).reshape(hkv, q_per + 2, dh, kdim)
+            return (
+                g[:, :q_per].reshape(q_rows, kdim),
+                g[:, q_per].reshape(kv_rows, kdim),
+                g[:, q_per + 1].reshape(kv_rows, kdim),
+            )
+        if hkv == hq:  # falcon-rw full MHA: [H, 3, dh] per-head interleave
+            g = np.asarray(qkv).reshape(hq, 3, dh, kdim)
+            return tuple(g[:, j].reshape(q_rows, kdim) for j in range(3))
+        return qkv[:q_rows], qkv[q_rows : q_rows + kv_rows], qkv[q_rows + kv_rows :]
+
+    names = ("input_norm_w", "input_norm_b", "q", "k", "v", "o", "up", "down")
+    if cfg.parallel_mlp_norm:
+        names += ("mlp_norm_w", "mlp_norm_b")
+    layers: dict = {n: [] for n in names}
     for i in range(L):
         p = f"transformer.h.{i}"
         qkv = raw[f"{p}.self_attention.query_key_value.weight"]  # [(H+2hkv)*dh, K]
-        layers["q"].append(qkv[:q_rows].T)
-        layers["k"].append(qkv[q_rows : q_rows + kv_rows].T)
-        layers["v"].append(qkv[q_rows + kv_rows :].T)
+        q, k, v = split_qkv(qkv)
+        layers["q"].append(q.T)
+        layers["k"].append(k.T)
+        layers["v"].append(v.T)
         layers["o"].append(raw[f"{p}.self_attention.dense.weight"].T)
         layers["up"].append(raw[f"{p}.mlp.dense_h_to_4h.weight"].T)
         layers["down"].append(raw[f"{p}.mlp.dense_4h_to_h.weight"].T)
-        layers["input_norm_w"].append(raw[f"{p}.input_layernorm.weight"])
-        layers["input_norm_b"].append(raw[f"{p}.input_layernorm.bias"])
+        if cfg.parallel_mlp_norm:
+            layers["input_norm_w"].append(raw[f"{p}.ln_attn.weight"])
+            layers["input_norm_b"].append(raw[f"{p}.ln_attn.bias"])
+            layers["mlp_norm_w"].append(raw[f"{p}.ln_mlp.weight"])
+            layers["mlp_norm_b"].append(raw[f"{p}.ln_mlp.bias"])
+        else:
+            layers["input_norm_w"].append(raw[f"{p}.input_layernorm.weight"])
+            layers["input_norm_b"].append(raw[f"{p}.input_layernorm.bias"])
 
     def stack(xs):
         return jnp.asarray(np.stack([np.ascontiguousarray(x) for x in xs])).astype(dtype)
@@ -122,6 +147,10 @@ def _load_falcon(raw: dict, cfg: ModelConfig, dtype):
         "up": {"w": stack(layers["up"])},
         "down": {"w": stack(layers["down"])},
     }
+    if cfg.parallel_mlp_norm:
+        out_layers["mlp_norm"] = {
+            "w": stack(layers["mlp_norm_w"]), "b": stack(layers["mlp_norm_b"])
+        }
     if not cfg.parallel_block:
         # falcon variants with parallel_attn=False carry a post-attention norm
         out_layers["post_attn_norm"] = {

@@ -125,6 +125,8 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     }
     if not cfg.parallel_block:
         layers["post_attn_norm"] = norm_leaf()
+    if cfg.parallel_mlp_norm:
+        layers["mlp_norm"] = norm_leaf()
     if cfg.sandwich_norm:
         layers["pre_ffn_norm"] = norm_leaf()
         layers["post_ffn_norm"] = norm_leaf()
@@ -229,8 +231,12 @@ def _block(
     attn_out = lin("o", lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype))
     act = _activation(cfg.hidden_act)
     if cfg.parallel_block:
-        # falcon-style: attention and MLP read the same norm, summed together
-        mlp_in = x
+        # falcon-style: attention and MLP summed into the residual together;
+        # new_decoder_architecture gives the MLP its own norm (ln_mlp)
+        if cfg.parallel_mlp_norm:
+            mlp_in = apply_norm(lp["mlp_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
+        else:
+            mlp_in = x
     elif cfg.sandwich_norm:
         # gemma3-style: post-attn norm on the attention OUTPUT, extra
         # pre/post-feedforward norms around the MLP

@@ -113,6 +113,41 @@ def _tiny_falcon_dir(tmp_path, rng):
     return qkv_ref, heads, dh
 
 
+def _tiny_falcon40b_dir(tmp_path, rng):
+    """Synthetic falcon-40b-layout checkpoint (new_decoder_architecture:
+    kv-grouped interleaved qkv + dual ln_attn/ln_mlp)."""
+    from safetensors.numpy import save_file
+    import json
+
+    d, heads, hkv, dh, L, V = 32, 4, 2, 8, 2, 64
+    out = {
+        "transformer.word_embeddings.weight": rng.standard_normal((V, d)).astype(np.float32),
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+    }
+    qkv_ref = {}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        qkv = rng.standard_normal(((heads + 2 * hkv) * dh, d)).astype(np.float32)
+        qkv_ref[i] = qkv
+        out[f"{p}.self_attention.query_key_value.weight"] = qkv
+        out[f"{p}.self_attention.dense.weight"] = rng.standard_normal((d, heads * dh)).astype(np.float32)
+        out[f"{p}.mlp.dense_h_to_4h.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        out[f"{p}.mlp.dense_4h_to_h.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        for nrm in ("ln_attn", "ln_mlp"):
+            out[f"{p}.{nrm}.weight"] = rng.standard_normal(d).astype(np.float32)
+            out[f"{p}.{nrm}.bias"] = rng.standard_normal(d).astype(np.float32)
+    save_file(out, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "falcon", "vocab_size": V, "hidden_size": d,
+            "num_hidden_layers": L, "num_attention_heads": heads,
+            "num_kv_heads": hkv, "new_decoder_architecture": True,
+            "parallel_attn": True, "alibi": False,
+        }, f)
+    return qkv_ref, heads, hkv, dh
+
+
 def _tiny_mpt_dir(tmp_path, rng):
     """Synthetic mpt-7b-layout checkpoint (ALiBi, no biases)."""
     from safetensors.numpy import save_file
@@ -140,7 +175,7 @@ def _tiny_mpt_dir(tmp_path, rng):
         }, f)
 
 
-@pytest.mark.parametrize("family", ["falcon", "mpt"])
+@pytest.mark.parametrize("family", ["falcon", "falcon40b", "mpt"])
 def test_family_import_autoclip_tp(tmp_path, family):
     """VERDICT r1 #6 done-criterion: real HF-layout import -> autoclip ->
     TP-sharded forward parity, per family."""
@@ -152,6 +187,8 @@ def test_family_import_autoclip_tp(tmp_path, family):
     rng = np.random.default_rng(0)
     if family == "falcon":
         qkv_ref, heads, dh = _tiny_falcon_dir(tmp_path, rng)
+    elif family == "falcon40b":
+        qkv_ref, heads, hkv, dh = _tiny_falcon40b_dir(tmp_path, rng)
     else:
         _tiny_mpt_dir(tmp_path, rng)
 
@@ -167,6 +204,22 @@ def test_family_import_autoclip_tp(tmp_path, family):
             np.asarray(params["layers"]["k"]["w"][0]),
             qkv_ref[0][heads * dh : (heads + 1) * dh].T, rtol=1e-6,
         )
+    elif family == "falcon40b":
+        assert cfg.parallel_block and cfg.parallel_mlp_norm
+        assert cfg.num_kv_heads == hkv
+        # kv-grouped interleave [Hkv, q_per+2, dh]: group g's k rows sit after
+        # its q_per query heads
+        q_per = heads // hkv
+        g = qkv_ref[0].reshape(hkv, q_per + 2, dh, cfg.hidden_size)
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["k"]["w"][0]),
+            g[:, q_per].reshape(hkv * dh, -1).T, rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["q"]["w"][0]),
+            g[:, :q_per].reshape(heads * dh, -1).T, rtol=1e-6,
+        )
+        assert "mlp_norm" in params["layers"]
     else:
         assert cfg.alibi and not cfg.use_rope
 
@@ -305,6 +358,51 @@ def test_bloom_import_qkv_interleave(tmp_path):
 
     tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
     logits, _ = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_falcon_rw_per_head_interleave(tmp_path):
+    """falcon-rw (multi_query=False, no new arch): fused qkv is per-head
+    [H, 3, dh] interleaved, like bloom (HF _split_heads middle branch)."""
+    from safetensors.numpy import save_file
+    import json
+
+    d, heads, L, V = 32, 4, 2, 64
+    dh = d // heads
+    rng = np.random.default_rng(7)
+    out = {
+        "transformer.word_embeddings.weight": rng.standard_normal((V, d)).astype(np.float32),
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+    }
+    qkv_ref = {}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        qkv = rng.standard_normal((3 * d, d)).astype(np.float32)
+        qkv_ref[i] = qkv
+        out[f"{p}.self_attention.query_key_value.weight"] = qkv
+        out[f"{p}.self_attention.dense.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+        out[f"{p}.mlp.dense_h_to_4h.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        out[f"{p}.mlp.dense_4h_to_h.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        out[f"{p}.input_layernorm.weight"] = np.ones(d, np.float32)
+        out[f"{p}.input_layernorm.bias"] = np.zeros(d, np.float32)
+    save_file(out, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "falcon", "vocab_size": V, "hidden_size": d,
+            "num_hidden_layers": L, "num_attention_heads": heads,
+            "multi_query": False, "parallel_attn": True, "alibi": True,
+        }, f)
+
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg.num_kv_heads == heads and not cfg.parallel_mlp_norm
+    want_k = np.concatenate(
+        [qkv_ref[0].reshape(heads, 3, dh, d)[h, 1] for h in range(heads)]
+    ).T
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["k"]["w"][0]), want_k, rtol=1e-6
+    )
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]], jnp.int32))
     assert np.isfinite(np.asarray(logits)).all()
 
 

@@ -16,6 +16,12 @@ TINY_FALCON = ModelConfig(
     parallel_block=True, hidden_act="gelu", mlp_style="plain",
     norm_type="layernorm", tie_word_embeddings=True,
 )
+TINY_FALCON40B = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=256, num_layers=2,
+    num_heads=4, num_kv_heads=2, max_position_embeddings=128,
+    parallel_block=True, parallel_mlp_norm=True, hidden_act="gelu",
+    mlp_style="plain", norm_type="layernorm", tie_word_embeddings=True,
+)
 TINY_MPT = ModelConfig(
     vocab_size=128, hidden_size=64, intermediate_size=256, num_layers=2,
     num_heads=4, num_kv_heads=4, max_position_embeddings=128,
@@ -24,12 +30,16 @@ TINY_MPT = ModelConfig(
 )
 
 
-@pytest.mark.parametrize("cfg", [TINY_FALCON, TINY_MPT], ids=["falcon", "mpt"])
+@pytest.mark.parametrize(
+    "cfg", [TINY_FALCON, TINY_FALCON40B, TINY_MPT],
+    ids=["falcon", "falcon40b", "mpt"],
+)
 def test_family_forward_and_cache(cfg):
     params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
     assert "gate" not in params["layers"]
     if cfg.parallel_block:
         assert "post_attn_norm" not in params["layers"]
+    assert ("mlp_norm" in params["layers"]) == cfg.parallel_mlp_norm
     tokens = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
     full, _ = forward(params, cfg, tokens)
     assert np.isfinite(np.asarray(full)).all()
@@ -43,7 +53,10 @@ def test_family_forward_and_cache(cfg):
     )
 
 
-@pytest.mark.parametrize("cfg", [TINY_FALCON, TINY_MPT], ids=["falcon", "mpt"])
+@pytest.mark.parametrize(
+    "cfg", [TINY_FALCON, TINY_FALCON40B, TINY_MPT],
+    ids=["falcon", "falcon40b", "mpt"],
+)
 def test_family_packs_and_runs(cfg):
     params = init_params(cfg, jax.random.key(1), dtype=jnp.float32)
     packed = pack_model(params, cfg, bits=4, group_size=64)
