@@ -4,7 +4,8 @@ Replaces the reference's vendored ~16k-LoC lm-eval fork (test/general/lm_eval,
 evaluator.py:17-120) with a compact runner covering the tasks the reference
 actually evaluates (llm_eval.py:66-106, readme.md:183-189): MMLU
 (hendrycksTest-*, 5-shot), ARC-easy/challenge, HellaSwag, PIQA, Winogrande,
-BoolQ — scored by loglikelihood (acc) and char-length-normalized
+BoolQ — plus OpenBookQA, SciQ, COPA, and LAMBADA from the fork's wider task
+registry — scored by loglikelihood (acc) and char-length-normalized
 loglikelihood (acc_norm), identical to lm-eval's metrics.
 
 The model adaptor is `LogLikelihoodFn`: batched sum-of-logprobs of a
@@ -187,6 +188,95 @@ def _boolq_docs(split="validation"):
     ]
 
 
+def _openbookqa_docs(split="test"):
+    from datasets import load_dataset
+
+    ds = load_dataset("openbookqa", "main", split=split)
+    docs = []
+    for d in ds:
+        labels = d["choices"]["label"]
+        docs.append(
+            MCDoc(
+                d["question_stem"],
+                [" " + t for t in d["choices"]["text"]],
+                labels.index(d["answerKey"]),
+            )
+        )
+    return docs
+
+
+def _sciq_docs(split="test"):
+    from datasets import load_dataset
+
+    ds = load_dataset("sciq", split=split)
+    docs = []
+    for d in ds:
+        support = d.get("support", "").lstrip()
+        ctx = f"{support}\nQuestion: {d['question']}\nAnswer:".lstrip()
+        choices = [d["distractor1"], d["distractor2"], d["distractor3"],
+                   d["correct_answer"]]
+        docs.append(MCDoc(ctx, [" " + c for c in choices], 3))
+    return docs
+
+
+def _copa_docs(split="validation"):
+    from datasets import load_dataset
+
+    ds = load_dataset("super_glue", "copa", split=split)
+
+    def drop_period(s):  # lm-eval lowercases the choice's first letter
+        return s[0].lower() + s[1:]
+
+    docs = []
+    for d in ds:
+        connector = {"cause": "because", "effect": "therefore"}[d["question"]]
+        ctx = d["premise"].strip()[:-1] + f" {connector}"
+        docs.append(
+            MCDoc(
+                ctx,
+                [" " + drop_period(d["choice1"]), " " + drop_period(d["choice2"])],
+                int(d["label"]),
+            )
+        )
+    return docs
+
+
+@dataclasses.dataclass
+class ClozeDoc:
+    """Single-continuation doc (lambada): acc = greedy match of the final
+    word, ppl = exp(-mean loglikelihood)."""
+
+    context: str
+    continuation: str
+
+
+def _lambada_docs(split="test"):
+    from datasets import load_dataset
+
+    ds = load_dataset("EleutherAI/lambada_openai", "en", split=split)
+    docs = []
+    for d in ds:
+        ctx, _, last = d["text"].strip().rpartition(" ")
+        docs.append(ClozeDoc(ctx, " " + last))
+    return docs
+
+
+def evaluate_cloze_task(ll_fn, docs: Iterable, limit: Optional[int] = None) -> dict:
+    """lambada-style scoring (lm-eval tasks/lambada.py): accuracy is whether
+    the continuation is the greedy argmax at every position; perplexity is
+    exp(-mean ll)."""
+    import math
+
+    docs = list(docs)
+    if limit:
+        docs = docs[:limit]
+    results = ll_fn([(d.context, d.continuation) for d in docs])
+    n = len(docs)
+    acc = sum(int(g) for _, g in results)
+    mean_ll = float(np.mean([ll for ll, _ in results])) if n else 0.0
+    return {"acc": acc / n if n else 0.0, "ppl": math.exp(-mean_ll), "n": n}
+
+
 MMLU_SUBJECTS = [
     "abstract_algebra", "anatomy", "astronomy", "business_ethics",
     "clinical_knowledge", "college_biology", "college_chemistry",
@@ -245,14 +335,23 @@ TASK_REGISTRY: dict[str, Callable[[], list]] = {
     "arc_challenge": lambda: _arc_docs("ARC-Challenge"),
     "winogrande": _winogrande_docs,
     "boolq": _boolq_docs,
+    "openbookqa": _openbookqa_docs,
+    "sciq": _sciq_docs,
+    "copa": _copa_docs,
+}
+
+# Cloze-style tasks dispatch to evaluate_cloze_task instead of evaluate_task.
+CLOZE_TASKS: dict[str, Callable[[], list]] = {
+    "lambada_openai": _lambada_docs,
 }
 
 # Per-task metric lists, matching the lm-eval fork's task definitions:
-# winogrande/boolq report acc only (winogrande's per-choice contexts share
-# one continuation, so length-normalization would degenerate to acc).
+# winogrande/boolq/copa report acc only (winogrande's per-choice contexts
+# share one continuation, so length-normalization would degenerate to acc).
 TASK_METRICS: dict[str, tuple] = {
     "winogrande": ("acc",),
     "boolq": ("acc",),
+    "copa": ("acc",),
 }
 
 # Split-preference parity note: the reference's vendored lm-eval plumbs a
@@ -379,6 +478,8 @@ def run_tasks(ll_fn, task_names: Sequence[str], limit=None) -> dict:
             subs = [f"hendrycksTest-{s}" for s in MMLU_SUBJECTS]
             for s in subs:
                 results[s] = evaluate_task(ll_fn, TASK_REGISTRY[s](), limit)
+        elif name in CLOZE_TASKS:
+            results[name] = evaluate_cloze_task(ll_fn, CLOZE_TASKS[name](), limit)
         else:
             res = evaluate_task(ll_fn, TASK_REGISTRY[name](), limit)
             metrics = TASK_METRICS.get(name)

@@ -117,6 +117,94 @@ def test_humaneval_execution():
     assert res["pass@1"] == 0.5
 
 
+# -- additional LL tasks (openbookqa/sciq/copa) and cloze (lambada) ---------
+
+from bitdistiller_tpu.eval.tasks import (
+    CLOZE_TASKS,
+    ClozeDoc,
+    TASK_REGISTRY,
+    evaluate_cloze_task,
+)
+
+
+def test_new_task_loaders_format(monkeypatch):
+    """Doc formatting of the round-2 task additions, on synthetic hub rows
+    (the real datasets need network; formats follow lm-eval's task defs)."""
+    rows = {
+        ("openbookqa",): [{
+            "question_stem": "The sun is a",
+            "choices": {"label": ["A", "B"], "text": ["star", "planet"]},
+            "answerKey": "A",
+        }],
+        ("sciq",): [{
+            "support": "Water boils at 100C.",
+            "question": "At what temperature does water boil?",
+            "distractor1": "50C", "distractor2": "75C", "distractor3": "10C",
+            "correct_answer": "100C",
+        }],
+        ("super_glue", "copa"): [{
+            "premise": "The man fell.", "question": "cause",
+            "choice1": "He tripped.", "choice2": "He flew.", "label": 0,
+        }],
+        ("EleutherAI/lambada_openai", "en"): [{"text": "the cat sat on the mat"}],
+    }
+
+    def fake_load(*args, split=None, **kw):
+        key = tuple(a for a in args if isinstance(a, str))
+        if key[0] == "openbookqa":
+            key = ("openbookqa",)
+        return rows[key]
+
+    monkeypatch.setattr("datasets.load_dataset", fake_load)
+
+    (d,) = TASK_REGISTRY["openbookqa"]()
+    assert d.context == "The sun is a" and d.choices == [" star", " planet"]
+    assert d.gold == 0
+
+    (d,) = TASK_REGISTRY["sciq"]()
+    assert d.context.startswith("Water boils")
+    assert d.context.endswith("Answer:")
+    assert d.choices[3] == " 100C" and d.gold == 3
+
+    (d,) = TASK_REGISTRY["copa"]()
+    # period dropped, connector appended, choice first letter lowercased
+    assert d.context == "The man fell because"
+    assert d.choices == [" he tripped.", " he flew."] and d.gold == 0
+
+    (d,) = CLOZE_TASKS["lambada_openai"]()
+    assert d.context == "the cat sat on the" and d.continuation == " mat"
+
+
+def test_evaluate_cloze_task_scoring():
+    docs = [ClozeDoc("a b c", " d"), ClozeDoc("x y", " z")]
+
+    def fake_ll(pairs):
+        assert pairs == [("a b c", " d"), ("x y", " z")]
+        return [(-1.0, True), (-3.0, False)]
+
+    res = evaluate_cloze_task(fake_ll, docs)
+    assert res["acc"] == 0.5 and res["n"] == 2
+    np.testing.assert_allclose(res["ppl"], np.exp(2.0), rtol=1e-6)
+
+
+def test_run_tasks_dispatches_cloze(monkeypatch):
+    from bitdistiller_tpu.eval import tasks as T
+
+    monkeypatch.setitem(T.CLOZE_TASKS, "lambada_openai", lambda: [ClozeDoc("a", " b")])
+    monkeypatch.setitem(T.TASK_REGISTRY, "copa", lambda: [MCDoc("c", [" x", " y"], 0)])
+    calls = []
+
+    def fake_ll(pairs):
+        calls.append(pairs)
+        return [(-1.0, True)] * len(pairs)
+
+    res = T.run_tasks(fake_ll, ["lambada_openai", "copa"])
+    assert res["lambada_openai"]["ppl"] == pytest.approx(np.exp(1.0))
+    # copa reports acc only (TASK_METRICS filter)
+    assert set(res["copa"]) == {"acc", "n"}
+    assert res["qa-avg"] == pytest.approx(1.0)
+
+
 # -- generative (greedy_until) path -----------------------------------------
 
 from bitdistiller_tpu.eval.tasks import (
