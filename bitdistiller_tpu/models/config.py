@@ -42,6 +42,18 @@ class ModelConfig:
     sliding_layers: Optional[tuple] = None
     # rope theta for sliding layers (gemma3: 10_000 local vs 1_000_000 global)
     rope_local_theta: Optional[float] = None
+    # rope scaling (HF config `rope_scaling`; the reference inherits this
+    # from transformers' modeling code): "linear" (gemma3 global layers,
+    # factor 8), "llama3" (llama-3.1+ frequency-dependent interpolation),
+    # "longrope" (phi3 per-dim factor tables). Tables are tuples so the
+    # frozen config stays hashable (it is closed over by jit).
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0  # llama3
+    rope_high_freq_factor: float = 4.0  # llama3
+    rope_original_max_position: Optional[int] = None  # llama3 / longrope
+    rope_long_factor: Optional[tuple] = None  # longrope, len head_dim/2
+    rope_short_factor: Optional[tuple] = None
     # falcon-style: attention and MLP both read the same norm, summed into
     # the residual in parallel (one norm per layer)
     parallel_block: bool = False
@@ -80,6 +92,39 @@ class ModelConfig:
     @property
     def kv_size(self) -> int:
         return self.num_kv_heads * self.actual_head_dim
+
+    @staticmethod
+    def _rope_scaling_kwargs(cfg: dict) -> dict:
+        """Normalize HF `rope_scaling` into ModelConfig fields. Supported:
+        linear, llama3, longrope/su. 'default'/absent -> no scaling."""
+        rs = cfg.get("rope_scaling") or {}
+        if not rs:
+            return {}
+        typ = rs.get("rope_type", rs.get("type", "linear"))
+        if typ == "default":
+            return {}
+        if typ == "su":  # phi3's historical name for longrope
+            typ = "longrope"
+        if typ not in ("linear", "llama3", "longrope"):
+            raise ValueError(
+                f"unsupported rope_scaling type {typ!r}; "
+                "supported: linear, llama3, longrope/su"
+            )
+        out = {
+            "rope_scaling_type": typ,
+            "rope_scaling_factor": float(rs.get("factor", 1.0)),
+            "rope_original_max_position": rs.get(
+                "original_max_position_embeddings",
+                cfg.get("original_max_position_embeddings"),
+            ),
+        }
+        if typ == "llama3":
+            out["rope_low_freq_factor"] = float(rs.get("low_freq_factor", 1.0))
+            out["rope_high_freq_factor"] = float(rs.get("high_freq_factor", 4.0))
+        if typ == "longrope":
+            out["rope_long_factor"] = tuple(float(x) for x in rs.get("long_factor", ()))
+            out["rope_short_factor"] = tuple(float(x) for x in rs.get("short_factor", ()))
+        return out
 
     @staticmethod
     def from_hf_config(cfg: dict) -> "ModelConfig":
@@ -232,6 +277,7 @@ class ModelConfig:
             else None,
             sliding_layers=sliding_layers,
             rope_local_theta=rope_local_theta,
+            **ModelConfig._rope_scaling_kwargs(cfg),
         )
 
     @staticmethod

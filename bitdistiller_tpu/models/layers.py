@@ -14,6 +14,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.quant_matmul import quant_matmul
 from ..quant.packing import PackedLinear
@@ -107,16 +108,66 @@ def alibi_bias(n_heads: int, q_pos: jnp.ndarray, k_pos: jnp.ndarray) -> jnp.ndar
     return -slopes[None, :, None, None] * dist[:, None, :, :]
 
 
+def rope_scaling_params(cfg, head_dim: int, theta: float):
+    """(inv_freq [head_dim/2], attention_scale) with the config's rope
+    scaling applied. Matches transformers' ROPE_INIT_FUNCTIONS (the path
+    the reference inherits for llama-3.1 / gemma3 / phi3 checkpoints):
+    - linear: inv_freq / factor
+    - llama3: long wavelengths scaled by 1/factor, short kept, smooth
+      interpolation in between (modeling_rope_utils._compute_llama3_parameters)
+    - longrope: per-dim factor table (long when the deployed
+      max_position exceeds the original pretraining length, else short),
+      plus the sqrt(1 + ln(s)/ln(orig)) attention magnitude factor.
+      transformers picks long/short per CALL by current seq length; here
+      the choice is static per config (max_position_embeddings), which is
+      the deployed-context behavior.
+    """
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
+    )
+    typ = cfg.rope_scaling_type
+    if typ is None:
+        return jnp.asarray(inv_freq), 1.0
+    if typ == "linear":
+        return jnp.asarray(inv_freq / cfg.rope_scaling_factor), 1.0
+    if typ == "llama3":
+        orig = float(cfg.rope_original_max_position or 8192)
+        factor = cfg.rope_scaling_factor
+        low_wavelen = orig / cfg.rope_low_freq_factor
+        high_wavelen = orig / cfg.rope_high_freq_factor
+        wavelen = 2.0 * np.pi / inv_freq
+        scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (orig / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        mid = (wavelen < low_wavelen) & (wavelen > high_wavelen)
+        return jnp.asarray(np.where(mid, smoothed, scaled)), 1.0
+    if typ == "longrope":
+        orig = float(cfg.rope_original_max_position or cfg.max_position_embeddings)
+        long_ctx = cfg.max_position_embeddings > orig
+        table = cfg.rope_long_factor if long_ctx else cfg.rope_short_factor
+        factors = np.asarray(table, np.float32)
+        scale = cfg.max_position_embeddings / orig
+        mscale = (
+            float(np.sqrt(1.0 + np.log(scale) / np.log(orig))) if scale > 1.0 else 1.0
+        )
+        return jnp.asarray(inv_freq / factors), mscale
+    raise ValueError(f"unknown rope_scaling_type {typ!r}")
+
+
 def rope_cos_sin(
-    positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32
+    positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32,
+    inv_freq: jnp.ndarray | None = None, mscale: float = 1.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """cos/sin tables for rotate-half RoPE. positions: [...]; out [..., head_dim]."""
-    inv_freq = 1.0 / (
-        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    )
+    if inv_freq is None:
+        inv_freq = 1.0 / (
+            theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        )
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (jnp.cos(emb) * mscale).astype(dtype), (jnp.sin(emb) * mscale).astype(dtype)
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:

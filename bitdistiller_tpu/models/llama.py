@@ -32,6 +32,7 @@ from .layers import (
     linear,
     rms_norm,
     rope_cos_sin,
+    rope_scaling_params,
     _activation,
 )
 
@@ -302,7 +303,13 @@ def forward(
         h = h + params["pos_embed"][positions + cfg.pos_embedding_offset].astype(
             compute_dtype
         )
-    cos, sin = rope_cos_sin(positions, cfg.actual_head_dim, cfg.rope_theta, compute_dtype)
+    # rope scaling (llama3/linear/longrope) applies to the GLOBAL rope;
+    # gemma3's local-attention layers keep their unscaled local theta
+    inv_freq, rope_mscale = rope_scaling_params(
+        cfg, cfg.actual_head_dim, cfg.rope_theta
+    )
+    cos, sin = rope_cos_sin(positions, cfg.actual_head_dim, cfg.rope_theta,
+                            compute_dtype, inv_freq=inv_freq, mscale=rope_mscale)
     # gemma2/3: sliding layers rotate with their own (local) theta
     per_layer_sliding = bool(cfg.sliding_layers) and cfg.sliding_window is not None
     if per_layer_sliding:
