@@ -54,6 +54,9 @@ class ModelConfig:
     rope_original_max_position: Optional[int] = None  # llama3 / longrope
     rope_long_factor: Optional[tuple] = None  # longrope, len head_dim/2
     rope_short_factor: Optional[tuple] = None
+    rope_beta_fast: float = 32.0  # yarn
+    rope_beta_slow: float = 1.0  # yarn
+    rope_attention_factor: Optional[float] = None  # yarn (None = 0.1 ln f + 1)
     # falcon-style: attention and MLP both read the same norm, summed into
     # the residual in parallel (one norm per layer)
     parallel_block: bool = False
@@ -105,10 +108,10 @@ class ModelConfig:
             return {}
         if typ == "su":  # phi3's historical name for longrope
             typ = "longrope"
-        if typ not in ("linear", "llama3", "longrope"):
+        if typ not in ("linear", "llama3", "longrope", "yarn"):
             raise ValueError(
                 f"unsupported rope_scaling type {typ!r}; "
-                "supported: linear, llama3, longrope/su"
+                "supported: linear, llama3, longrope/su, yarn"
             )
         out = {
             "rope_scaling_type": typ,
@@ -124,6 +127,11 @@ class ModelConfig:
         if typ == "longrope":
             out["rope_long_factor"] = tuple(float(x) for x in rs.get("long_factor", ()))
             out["rope_short_factor"] = tuple(float(x) for x in rs.get("short_factor", ()))
+        if typ == "yarn":
+            out["rope_beta_fast"] = float(rs.get("beta_fast", 32.0))
+            out["rope_beta_slow"] = float(rs.get("beta_slow", 1.0))
+            if rs.get("attention_factor") is not None:
+                out["rope_attention_factor"] = float(rs["attention_factor"])
         return out
 
     @staticmethod

@@ -153,6 +153,34 @@ def rope_scaling_params(cfg, head_dim: int, theta: float):
             float(np.sqrt(1.0 + np.log(scale) / np.log(orig))) if scale > 1.0 else 1.0
         )
         return jnp.asarray(inv_freq / factors), mscale
+    if typ == "yarn":
+        # transformers _compute_yarn_parameters: NTK-by-parts — interpolate
+        # low-frequency dims by 1/factor, extrapolate high-frequency dims,
+        # linear ramp between the beta_fast/beta_slow correction dims;
+        # attention magnitude scaled by 0.1 ln(factor) + 1.
+        factor = cfg.rope_scaling_factor
+        orig = float(cfg.rope_original_max_position or cfg.max_position_embeddings)
+        mscale = (
+            cfg.rope_attention_factor
+            if cfg.rope_attention_factor is not None
+            else 0.1 * float(np.log(factor)) + 1.0
+        )
+
+        def correction_dim(num_rotations):
+            return (head_dim * np.log(orig / (num_rotations * 2 * np.pi))) / (
+                2 * np.log(theta)
+            )
+
+        low = max(float(np.floor(correction_dim(cfg.rope_beta_fast))), 0.0)
+        high = min(float(np.ceil(correction_dim(cfg.rope_beta_slow))), head_dim - 1.0)
+        if low == high:
+            high += 0.001  # avoid a zero-width ramp (transformers does the same)
+        ramp = np.clip(
+            (np.arange(head_dim // 2, dtype=np.float32) - low) / (high - low), 0, 1
+        )
+        extrap_weight = 1.0 - ramp
+        inv_scaled = inv_freq / factor * (1 - extrap_weight) + inv_freq * extrap_weight
+        return jnp.asarray(inv_scaled), float(mscale)
     raise ValueError(f"unknown rope_scaling_type {typ!r}")
 
 

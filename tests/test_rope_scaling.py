@@ -81,6 +81,47 @@ def test_longrope_factor_table_and_mscale():
     assert ms_s == 1.0
 
 
+def test_yarn_matches_hf_formula():
+    cfg = ModelConfig(
+        **BASE, rope_theta=1000000.0, rope_scaling_type="yarn",
+        rope_scaling_factor=4.0, rope_original_max_position=32768,
+    )
+    dh = cfg.actual_head_dim
+    inv, ms = rope_scaling_params(cfg, dh, cfg.rope_theta)
+    np.testing.assert_allclose(ms, 0.1 * np.log(4.0) + 1.0, rtol=1e-6)
+    # independent restatement of _compute_yarn_parameters
+    base = 1.0 / (cfg.rope_theta ** (np.arange(0, dh, 2) / dh))
+
+    def corr(rot):
+        return (dh * np.log(32768 / (rot * 2 * np.pi))) / (2 * np.log(1000000.0))
+
+    low = max(np.floor(corr(32.0)), 0)
+    high = min(np.ceil(corr(1.0)), dh - 1)
+    if low == high:
+        high += 0.001
+    want = []
+    for j in range(dh // 2):
+        w = 1.0 - np.clip((j - low) / (high - low), 0, 1)  # extrapolation weight
+        want.append(base[j] / 4.0 * (1 - w) + base[j] * w)
+    np.testing.assert_allclose(np.asarray(inv), np.asarray(want), rtol=1e-6)
+    # the attention factor reaches the cos/sin tables
+    c, _ = rope_cos_sin(jnp.asarray([0.0]), dh, cfg.rope_theta, inv_freq=inv,
+                        mscale=ms)
+    np.testing.assert_allclose(np.asarray(c[0]), ms, rtol=1e-6)
+
+    # yarn parses from HF config with explicit attention_factor override
+    hf = {"model_type": "qwen2", "vocab_size": 64, "hidden_size": 32,
+          "intermediate_size": 64, "num_hidden_layers": 1,
+          "num_attention_heads": 2, "num_key_value_heads": 2,
+          "rope_scaling": {"rope_type": "yarn", "factor": 4.0,
+                           "beta_fast": 16, "attention_factor": 1.5,
+                           "original_max_position_embeddings": 32768}}
+    pc = ModelConfig.from_hf_config(hf)
+    assert pc.rope_scaling_type == "yarn" and pc.rope_beta_fast == 16.0
+    _, ms2 = rope_scaling_params(pc, pc.actual_head_dim, pc.rope_theta)
+    assert ms2 == 1.5
+
+
 def test_from_hf_config_rope_scaling_parsing():
     base_hf = {
         "model_type": "llama", "vocab_size": 64, "hidden_size": 32,
@@ -108,9 +149,9 @@ def test_from_hf_config_rope_scaling_parsing():
     assert ModelConfig.from_hf_config(
         {**base_hf, "rope_scaling": {"rope_type": "default"}}
     ).rope_scaling_type is None
-    with pytest.raises(ValueError, match="yarn"):
+    with pytest.raises(ValueError, match="dynamic"):
         ModelConfig.from_hf_config(
-            {**base_hf, "rope_scaling": {"rope_type": "yarn", "factor": 2.0}}
+            {**base_hf, "rope_scaling": {"rope_type": "dynamic", "factor": 2.0}}
         )
 
 
