@@ -31,7 +31,7 @@ import numpy as np
 from ..models import llama
 from ..models.config import ModelConfig
 from ..models.llama import KVCache
-from .sampling import SamplingParams, sample_tokens
+from .sampling import SamplingParams, sample_tokens, sample_tokens_batched
 
 
 @dataclasses.dataclass
@@ -39,6 +39,10 @@ class Request:
     prompt_tokens: list
     max_new_tokens: int = 256
     stream: Optional[Callable[[int], None]] = None  # per-token callback
+    # per-request sampling override (None = the engine's default params);
+    # each slot carries its own temperature/top-k/top-p/repetition penalty
+    # on device, so one decode step serves mixed settings
+    sampling: Optional[SamplingParams] = None
     # filled by the engine:
     output_tokens: list = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -95,6 +99,14 @@ class Engine:
         self._lengths_dev = jnp.zeros(max_slots, jnp.int32)
         self._active_dev = jnp.zeros(max_slots, bool)
         self._active_dirty = True
+        # per-slot sampling vectors (engine defaults until a request
+        # overrides them at admission); the uniform fast path skips them
+        s = sampling
+        self._temps = jnp.full(max_slots, s.temperature, jnp.float32)
+        self._top_ks = jnp.full(max_slots, s.top_k, jnp.int32)
+        self._top_ps = jnp.full(max_slots, s.top_p, jnp.float32)
+        self._rep_pens = jnp.full(max_slots, s.repetition_penalty, jnp.float32)
+        self._slot_custom = np.zeros(max_slots, bool)
         self.buckets = _buckets(max_len)
         # decode `horizon` steps per jitted call, one host sync per horizon —
         # per-step device->host syncs dominate otherwise (measured ~5x
@@ -115,7 +127,8 @@ class Engine:
         # cache donated: in-place KV update (an undonated step would copy —
         # and at max_len 2048 double-allocate — the multi-GB cache)
         self._decode = jax.jit(
-            self._decode_impl, static_argnames=("steps",), donate_argnums=(1,)
+            self._decode_impl, static_argnames=("steps", "custom"),
+            donate_argnums=(1,),
         )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
 
@@ -161,7 +174,8 @@ class Engine:
             )
         return KVCache(k=upd(cache.k, nk), v=upd(cache.v, nv))
 
-    def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key, steps=1):
+    def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key,
+                     samp, steps=1, custom=False):
         max_pos = self.max_len - 1
 
         def one(carry, _):
@@ -170,7 +184,12 @@ class Engine:
             logits, cache = llama.forward(
                 params, self.cfg, tokens[:, None], cache=cache, cache_pos=pos
             )
-            next_tok = sample_tokens(sub, logits[:, 0], self.sampling, prev_tokens)
+            if custom:  # per-slot sampling vectors (mixed request settings)
+                next_tok = sample_tokens_batched(
+                    sub, logits[:, 0], *samp, prev_tokens
+                )
+            else:  # uniform engine params — skips the per-row sort entirely
+                next_tok = sample_tokens(sub, logits[:, 0], self.sampling, prev_tokens)
             next_tok = jnp.where(active, next_tok, 0)
             prev_tokens = jnp.concatenate(
                 [prev_tokens[:, 1:], next_tok[:, None]], axis=1
@@ -226,13 +245,34 @@ class Engine:
         # request's recent tokens
         admit_idx = jnp.asarray(slot_arr[: len(reqs)])
         self.prev_tokens = self.prev_tokens.at[admit_idx].set(-1)
+        # per-slot sampling vectors: request overrides land here; defaults
+        # restore rows a previous custom request used
+        eff = [r.sampling or self.sampling for r in reqs]
+        self._temps = self._temps.at[admit_idx].set(
+            jnp.asarray([s.temperature for s in eff], jnp.float32))
+        self._top_ks = self._top_ks.at[admit_idx].set(
+            jnp.asarray([s.top_k for s in eff], jnp.int32))
+        self._top_ps = self._top_ps.at[admit_idx].set(
+            jnp.asarray([s.top_p for s in eff], jnp.float32))
+        self._rep_pens = self._rep_pens.at[admit_idx].set(
+            jnp.asarray([s.repetition_penalty for s in eff], jnp.float32))
+        for r, slot in zip(reqs, slots):
+            self._slot_custom[slot] = r.sampling is not None
         # first sampled token from prompt logits — kept ON DEVICE: run() reads
         # it together with the next decode horizon in one host sync (a sync
         # here would stall the decode dispatch behind prefill)
         self.key, sub = jax.random.split(self.key)
-        firsts = sample_tokens(
-            sub, last_logits, self.sampling, self.prev_tokens[slot_arr]
-        )[: len(reqs)]
+        if any(r.sampling is not None for r in reqs):
+            firsts = sample_tokens_batched(
+                sub, last_logits,
+                self._temps[slot_arr], self._top_ks[slot_arr],
+                self._top_ps[slot_arr], self._rep_pens[slot_arr],
+                self.prev_tokens[slot_arr],
+            )[: len(reqs)]
+        else:
+            firsts = sample_tokens(
+                sub, last_logits, self.sampling, self.prev_tokens[slot_arr]
+            )[: len(reqs)]
         # the first token joins the window so decode's penalty sees it
         self.prev_tokens = self.prev_tokens.at[admit_idx, -1].set(firsts)
         self.cur_tokens = self.cur_tokens.at[admit_idx].set(firsts)
@@ -268,6 +308,9 @@ class Engine:
             self.active[slot] = False
             self._active_dirty = True
             self.slot_req[slot] = None
+            # drop back to the uniform-sampling fast path once no active
+            # slot carries custom params (inactive rows are masked anyway)
+            self._slot_custom[slot] = False
 
     def _dispatch_decode(self, steps: int):
         """Dispatch one decode horizon; returns the device token block
@@ -280,7 +323,9 @@ class Engine:
             self._active_dev,
             self.prev_tokens,
             self.key,
+            (self._temps, self._top_ks, self._top_ps, self._rep_pens),
             steps=steps,
+            custom=bool(self._slot_custom.any()),
         )
         self.cur_tokens = toks[-1]  # device-side, no sync
         # device lengths advance uniformly for dispatch-active slots;

@@ -192,3 +192,75 @@ def test_engine_pipelined_speculation_dispatches(tiny_engine, monkeypatch):
     # 1 first token + 32 horizon tokens -> exactly 8 rounds of 4: speculation
     # must not over-dispatch beyond the budget margins
     assert calls == [4] * 8, calls
+
+
+# -- per-request sampling ----------------------------------------------------
+
+from bitdistiller_tpu.serve.sampling import sample_tokens_batched
+
+
+def test_batched_sampler_matches_uniform():
+    """Uniform per-row vectors must reproduce sample_tokens exactly (same
+    key), across greedy / temp+topk+topp / repetition-penalty settings."""
+    key = jax.random.key(3)
+    logits = jax.random.normal(jax.random.key(4), (4, 64)) * 3.0
+    prev = jnp.asarray([[1, 2, -1, -1]] * 4, jnp.int32)
+    combos = [
+        SamplingParams(temperature=0.0),
+        SamplingParams(temperature=0.8, top_k=5),
+        SamplingParams(temperature=0.8, top_p=0.7),
+        SamplingParams(temperature=1.2, top_k=8, top_p=0.9,
+                       repetition_penalty=1.4),
+    ]
+    for sp in combos:
+        want = sample_tokens(key, logits, sp, prev)
+        got = sample_tokens_batched(
+            key, logits,
+            jnp.full(4, sp.temperature), jnp.full(4, sp.top_k, jnp.int32),
+            jnp.full(4, sp.top_p), jnp.full(4, sp.repetition_penalty),
+            prev,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), err_msg=str(sp))
+
+
+def test_batched_sampler_mixed_rows():
+    """Per-row settings act independently: a greedy row is deterministic
+    while a top-k=1 row equals greedy too, and top-k masking respects each
+    row's own k."""
+    logits = jnp.asarray([[0.1, 3.0, 0.2, 0.5], [2.0, 0.1, 1.5, 0.2]])
+    got = sample_tokens_batched(
+        jax.random.key(0), logits,
+        jnp.asarray([0.0, 1.0]), jnp.asarray([0, 1], jnp.int32),
+        jnp.asarray([1.0, 1.0]), jnp.asarray([1.0, 1.0]),
+    )
+    assert int(got[0]) == 1  # greedy row
+    assert int(got[1]) == 0  # top-k=1 row collapses to its argmax
+
+
+def test_engine_per_request_sampling(tiny_engine):
+    """A greedy-override request inside a stochastic-default engine must
+    reproduce the greedy manual loop; the engine returns to the uniform
+    fast path when the custom request finishes."""
+    cfg, params = tiny_engine
+    eng = Engine(
+        params, cfg, max_slots=2, max_len=64,
+        sampling=SamplingParams(temperature=1.0), eos_token_id=None,
+    )
+    prompt = [3, 7, 11]
+    reqs = [
+        Request(prompt_tokens=prompt, max_new_tokens=5,
+                sampling=SamplingParams(temperature=0.0)),
+        Request(prompt_tokens=[5, 2], max_new_tokens=5),
+    ]
+    assert not eng._slot_custom.any()
+    eng.run(reqs)
+    assert not eng._slot_custom.any()  # reset after finish
+
+    seq = list(prompt)
+    want = []
+    for _ in range(5):
+        logits, _ = forward(params, cfg, jnp.asarray([seq], jnp.int32))
+        nxt = int(logits[0, -1].argmax())
+        want.append(nxt)
+        seq.append(nxt)
+    assert reqs[0].output_tokens == want, (reqs[0].output_tokens, want)
