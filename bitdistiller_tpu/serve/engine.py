@@ -43,6 +43,10 @@ class Request:
     # each slot carries its own temperature/top-k/top-p/repetition penalty
     # on device, so one decode step serves mixed settings
     sampling: Optional[SamplingParams] = None
+    # extra stop token ids beyond the engine's eos (the reference's
+    # stream_gen stop_token_ids, stream_gen.py:44,62,127 — prompt templates
+    # add per-family stops); checked host-side at emit time
+    stop_token_ids: tuple = ()
     # filled by the engine:
     output_tokens: list = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -295,16 +299,15 @@ class Engine:
         req.output_tokens.append(token)
         if req.stream:
             req.stream(token)
-        done = (self.eos is not None and token == self.eos) or (
-            len(req.output_tokens) >= req.max_new_tokens
+        stopped = (self.eos is not None and token == self.eos) or (
+            token in req.stop_token_ids
         )
+        done = stopped or len(req.output_tokens) >= req.max_new_tokens
         if self.lengths[slot] + 1 >= self.max_len:
             done = True
         if done:
             req.finished = True
-            req.finish_reason = (
-                "stop" if (self.eos is not None and token == self.eos) else "length"
-            )
+            req.finish_reason = "stop" if stopped else "length"
             self.active[slot] = False
             self._active_dirty = True
             self.slot_req[slot] = None

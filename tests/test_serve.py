@@ -264,3 +264,24 @@ def test_engine_per_request_sampling(tiny_engine):
         want.append(nxt)
         seq.append(nxt)
     assert reqs[0].output_tokens == want, (reqs[0].output_tokens, want)
+
+
+def test_engine_per_request_stop_tokens(tiny_engine):
+    """stop_token_ids parity (stream_gen.py:44,62,127): generation halts on
+    any listed token, reported as finish_reason='stop'."""
+    cfg, params = tiny_engine
+    eng = Engine(
+        params, cfg, max_slots=1, max_len=64,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    base = eng.generate([[3, 7, 11]], max_new_tokens=6)[0]
+    stop = base[2]
+    eng2 = Engine(
+        params, cfg, max_slots=1, max_len=64,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    req = Request(prompt_tokens=[3, 7, 11], max_new_tokens=6,
+                  stop_token_ids=(stop,))
+    eng2.run([req])
+    assert req.output_tokens == base[:3]
+    assert req.finish_reason == "stop"
