@@ -9,6 +9,7 @@ Subcommands:
   ppl       — WikiText-2 perplexity eval
   pack      — quantize + pack a checkpoint for serving
   chat      — interactive packed-model chat (demo.py parity)
+  serve     — JSON-over-HTTP online serving (continuous batching)
   eval      — MMLU/ARC/HellaSwag/PIQA/Winogrande/BoolQ loglikelihood tasks
   gsm8k     — generative GSM8K accuracy
   humaneval — generative HumanEval pass@1
@@ -121,6 +122,34 @@ def cmd_export_gptq(args):
     export_gptq(params, cfg, args.output, bits=args.w_bit,
                 group_size=args.q_group_size)
     print(f"GPTQ-format checkpoint saved to {args.output}")
+
+
+def cmd_serve(args):
+    import jax.numpy as jnp
+
+    from .serve import Engine, SamplingParams
+    from .serve.server import ServingFrontend
+
+    tok = _load_tokenizer(args.model_path)
+    if args.load_quant:
+        from .models.quantized import load_packed_checkpoint
+
+        params, cfg = load_packed_checkpoint(args.load_quant)
+    else:
+        params, cfg = _load_model(args.model_path)
+    eng = Engine(
+        params, cfg,
+        max_slots=args.max_batch_size,
+        max_len=args.max_seq_len,
+        sampling=SamplingParams(temperature=args.temperature, top_p=args.top_p),
+        eos_token_id=tok.eos_token_id,
+        cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+        decode_horizon=args.decode_horizon,
+    )
+    front = ServingFrontend(eng, tok, host=args.host, port=args.port)
+    print(f"serving on http://{front.address[0]}:{front.address[1]} "
+          f"({args.max_batch_size} slots, max_len {args.max_seq_len})")
+    front.serve_forever()
 
 
 def cmd_chat(args):
@@ -344,6 +373,20 @@ def build_parser():
     gq.add_argument("--q_group_size", type=int, default=128)
     gq.add_argument("--output", required=True)
     gq.set_defaults(fn=cmd_export_gptq)
+
+    sv = sub.add_parser("serve", help="JSON-over-HTTP online serving")
+    sv.add_argument("--model_path", required=True, help="tokenizer source / HF dir")
+    sv.add_argument("--load_quant", default=None, help="packed checkpoint dir")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--max_batch_size", "--max_slots", dest="max_batch_size",
+                    type=int, default=8)
+    sv.add_argument("--max_seq_len", type=int, default=2048)
+    sv.add_argument("--temperature", type=float, default=0.7)
+    sv.add_argument("--top_p", type=float, default=0.95)
+    sv.add_argument("--decode_horizon", type=int, default=16)
+    sv.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
+    sv.set_defaults(fn=cmd_serve)
 
     ch = sub.add_parser("chat", help="interactive chat on a packed model")
     ch.add_argument("--model_path", required=True, help="tokenizer source")

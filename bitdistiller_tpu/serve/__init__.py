@@ -1,4 +1,7 @@
 from .engine import Engine, Request
-from .sampling import SamplingParams, sample_tokens
+from .sampling import SamplingParams, sample_tokens, sample_tokens_batched
 
-__all__ = ["Engine", "Request", "SamplingParams", "sample_tokens"]
+__all__ = [
+    "Engine", "Request", "SamplingParams", "sample_tokens",
+    "sample_tokens_batched",
+]

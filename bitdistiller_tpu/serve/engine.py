@@ -47,6 +47,9 @@ class Request:
     # stream_gen stop_token_ids, stream_gen.py:44,62,127 — prompt templates
     # add per-family stops); checked host-side at emit time
     stop_token_ids: tuple = ()
+    # called once when the request finishes (online serving wakes the
+    # waiting HTTP handler here)
+    on_finish: Optional[Callable[["Request"], None]] = None
     # filled by the engine:
     output_tokens: list = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -314,6 +317,8 @@ class Engine:
             # drop back to the uniform-sampling fast path once no active
             # slot carries custom params (inactive rows are masked anyway)
             self._slot_custom[slot] = False
+            if req.on_finish is not None:
+                req.on_finish(req)
 
     def _dispatch_decode(self, steps: int):
         """Dispatch one decode horizon; returns the device token block
@@ -337,8 +342,21 @@ class Engine:
         self._lengths_dev = self._lengths_dev + steps * self._active_dev
         return toks
 
-    def run(self, requests: Iterable[Request]) -> list[Request]:
+    def run(
+        self,
+        requests: Iterable[Request],
+        *,
+        feeder: Optional[Callable[[bool], list]] = None,
+        stop: Optional[Callable[[], bool]] = None,
+    ) -> list[Request]:
         """Continuous-batching loop until all requests finish.
+
+        `feeder(idle)` (optional) is polled at every admission round for
+        requests arriving DURING the run — the online-serving entry point
+        (serve/server.py). It should return immediately when idle=False
+        (slots are decoding) and may block briefly when idle=True (nothing
+        to do but wait). The loop exits when no work remains and `stop()`
+        returns True (stop defaults to "feeder exhausted == no feeder").
 
         Decode rounds are PIPELINED: when no host decision is pending (empty
         admission queue, token budgets and cache headroom cover another full
@@ -357,8 +375,18 @@ class Engine:
         #  t0, chain_rem) — chain_rem = how many MORE horizons fit within
         # every budget/headroom margin measured at real-dispatch time
         inflight = None
-        while pending or inflight is not None:
+        while (
+            pending
+            or inflight is not None
+            or (feeder is not None and not (stop() if stop else False))
+        ):
             if inflight is None:
+                if feeder is not None:
+                    new = feeder(not self.active.any() and not queue)
+                    queue.extend(new)
+                    pending += len(new)
+                    if not queue and not self.active.any():
+                        continue  # idle poll (feeder blocks, no spin)
                 # admit as many as fit, one batched prefill per admission round
                 admit_reqs, admit_slots = [], []
                 while queue:
@@ -395,6 +423,9 @@ class Engine:
                         self.active[i] = False
                         self._active_dirty = True
                         self.slot_req[i] = None
+                        self._slot_custom[i] = False
+                        if req.on_finish is not None:
+                            req.on_finish(req)
                         done.append(req)
                         pending -= 1
                 if not self.active.any():

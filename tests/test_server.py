@@ -1,0 +1,112 @@
+"""HTTP serving frontend: online request admission through Engine.run's
+feeder hook, per-request params over the wire, concurrent handlers."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitdistiller_tpu.models import TINY_TEST, forward, init_params
+from bitdistiller_tpu.serve import Engine, SamplingParams
+from bitdistiller_tpu.serve.server import ServingFrontend
+
+
+class CharTok:
+    def encode(self, s):
+        return [(ord(c) % 250) + 3 for c in s]
+
+    def decode(self, ids, **kw):
+        return "".join(chr((i - 3) % 26 + 97) for i in ids)
+
+
+@pytest.fixture()
+def frontend():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0))
+    eng = Engine(
+        params, cfg, max_slots=2, max_len=64,
+        sampling=SamplingParams(temperature=1.0), eos_token_id=None,
+    )
+    front = ServingFrontend(eng, CharTok(), port=0)
+    t = threading.Thread(target=front.serve_forever)
+    t.start()
+    host, port = front.address
+    yield front, f"http://{host}:{port}", params, cfg
+    front.shutdown()
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        f"{url}/generate", json.dumps(body).encode(),
+        {"Content-Type": "application/json"},
+    )
+    return json.load(urllib.request.urlopen(req, timeout=120))
+
+
+def test_http_health_and_greedy(frontend):
+    front, url, params, cfg = frontend
+    h = json.load(urllib.request.urlopen(f"{url}/health", timeout=30))
+    assert h["ok"] and h["active_slots"] == 0
+
+    out = _post(url, {"prompt": "hello", "max_new_tokens": 5,
+                      "temperature": 0.0})
+    assert out["finish_reason"] == "length" and len(out["tokens"]) == 5
+    # greedy-over-HTTP must equal the manual full-context loop
+    seq = CharTok().encode("hello")
+    want = []
+    for _ in range(5):
+        logits, _ = forward(params, cfg, jnp.asarray([seq], jnp.int32))
+        nxt = int(logits[0, -1].argmax())
+        want.append(nxt)
+        seq.append(nxt)
+    assert out["tokens"] == want
+
+
+def test_http_concurrent_mixed_params(frontend):
+    front, url, *_ = frontend
+    results = {}
+
+    def hit(name, body):
+        results[name] = _post(url, body)
+
+    threads = [
+        threading.Thread(target=hit, args=("a", {
+            "prompt": "abc", "max_new_tokens": 8, "temperature": 0.0})),
+        threading.Thread(target=hit, args=("b", {
+            "prompt": "defgh", "max_new_tokens": 8})),
+        threading.Thread(target=hit, args=("c", {
+            "prompt_tokens": [5, 9, 4], "max_new_tokens": 8,
+            "temperature": 1.3, "top_k": 4})),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert set(results) == {"a", "b", "c"}
+    for r in results.values():
+        assert len(r["tokens"]) == 8 and r["decode_tokens"] > 0
+
+    # bad request -> 400
+    req = urllib.request.Request(
+        f"{url}/generate", b"{}", {"Content-Type": "application/json"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_http_stop_tokens(frontend):
+    front, url, params, cfg = frontend
+    base = _post(url, {"prompt": "xyz", "max_new_tokens": 6,
+                       "temperature": 0.0})
+    stop = base["tokens"][1]
+    out = _post(url, {"prompt": "xyz", "max_new_tokens": 6,
+                      "temperature": 0.0, "stop_token_ids": [stop]})
+    assert out["tokens"] == base["tokens"][:2]
+    assert out["finish_reason"] == "stop"
