@@ -249,7 +249,8 @@ def cmd_eval(args):
     if tasks:
         fn = LogLikelihoodFn(params, cfg, tok, quantizer=quantizer,
                              batch_size=args.batch_size)
-        results.update(run_tasks(fn, tasks, limit=args.limit))
+        results.update(run_tasks(fn, tasks, limit=args.limit,
+                         mmlu_fewshot=args.num_fewshot))
     print(json.dumps(results, indent=2, default=float))
 
 
@@ -430,6 +431,8 @@ def build_parser():
     ev.add_argument("--q_group_size", type=int, default=128)
     ev.add_argument("--batch_size", type=int, default=8)
     ev.add_argument("--limit", type=int, default=None)
+    ev.add_argument("--num_fewshot", type=int, default=5,
+                    help="MMLU few-shot exemplars (llm_eval.py parity)")
     ev.set_defaults(fn=cmd_eval)
 
     gs = sub.add_parser("gsm8k", help="GSM8K generative eval")

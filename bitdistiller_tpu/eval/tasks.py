@@ -469,15 +469,18 @@ def evaluate_task(
     return {"acc": acc / n, "acc_norm": acc_norm / n, "n": n}
 
 
-def run_tasks(ll_fn, task_names: Sequence[str], limit=None) -> dict:
+def run_tasks(ll_fn, task_names: Sequence[str], limit=None,
+              mmlu_fewshot: int = 5) -> dict:
     """Evaluate several tasks; aggregate MMLU and QA averages like
-    llm_eval.py:84-106."""
+    llm_eval.py:84-106. `mmlu_fewshot` ≡ the reference's --num_fewshot
+    (llm_eval.py CLI; readme uses 5 for MMLU, 0 for QA tasks)."""
     results = {}
     for name in task_names:
         if name == "mmlu":
-            subs = [f"hendrycksTest-{s}" for s in MMLU_SUBJECTS]
-            for s in subs:
-                results[s] = evaluate_task(ll_fn, TASK_REGISTRY[s](), limit)
+            for s in MMLU_SUBJECTS:
+                results[f"hendrycksTest-{s}"] = evaluate_task(
+                    ll_fn, _mmlu_docs(s, n_shot=mmlu_fewshot), limit
+                )
         elif name in CLOZE_TASKS:
             results[name] = evaluate_cloze_task(ll_fn, CLOZE_TASKS[name](), limit)
         else:
