@@ -73,6 +73,8 @@ class ServingFrontend:
                     req = frontend._build_request(body)
                 except Exception as e:  # malformed request
                     return self._json(400, {"error": str(e)})
+                if body.get("stream"):
+                    return self._stream(req)
                 evt = threading.Event()
                 req.on_finish = lambda _r: evt.set()
                 frontend.queue.put(req)
@@ -86,6 +88,31 @@ class ServingFrontend:
                     "decode_tokens": req.decode_tokens,
                     "decode_time_s": req.decode_time,
                 })
+
+            def _stream(self, req):
+                """Server-sent events: one `data:` line per token as the
+                engine emits it (stream_gen.py's per-token yield, over HTTP)."""
+                tokens: "queue.Queue" = queue.Queue()
+                req.stream = tokens.put
+                req.on_finish = lambda _r: tokens.put(None)
+                frontend.queue.put(req)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                while True:
+                    t = tokens.get(timeout=600)
+                    if t is None:
+                        payload = {"done": True,
+                                   "finish_reason": req.finish_reason,
+                                   "text": frontend.tok.decode(req.output_tokens)}
+                    else:
+                        payload = {"token": int(t),
+                                   "text": frontend.tok.decode([t])}
+                    self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                    self.wfile.flush()
+                    if t is None:
+                        return
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True

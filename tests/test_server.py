@@ -110,3 +110,30 @@ def test_http_stop_tokens(frontend):
                       "temperature": 0.0, "stop_token_ids": [stop]})
     assert out["tokens"] == base["tokens"][:2]
     assert out["finish_reason"] == "stop"
+
+
+def test_http_sse_streaming(frontend):
+    front, url, params, cfg = frontend
+    base = _post(url, {"prompt": "stream", "max_new_tokens": 5,
+                       "temperature": 0.0})
+    req = urllib.request.Request(
+        f"{url}/generate",
+        json.dumps({"prompt": "stream", "max_new_tokens": 5,
+                    "temperature": 0.0, "stream": True}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    resp = urllib.request.urlopen(req, timeout=120)
+    assert resp.headers["Content-Type"] == "text/event-stream"
+    toks, done = [], None
+    for line in resp:
+        line = line.decode().strip()
+        if not line.startswith("data: "):
+            continue
+        evt = json.loads(line[6:])
+        if evt.get("done"):
+            done = evt
+            break
+        toks.append(evt["token"])
+    assert toks == base["tokens"]
+    assert done["finish_reason"] == "length"
+    assert done["text"] == base["text"]
