@@ -347,6 +347,8 @@ def build_parser():
                          "or TPU auto-detect)")
     tr.add_argument("--num_processes", type=int, default=None)
     tr.add_argument("--process_id", type=int, default=None)
+    tr.add_argument("--eval_on_start", action="store_true",
+                    help="run an eval pass before step 1 (train_ckpt0.sh parity)")
     tr.add_argument("--resume", action="store_true")
     tr.set_defaults(fn=cmd_train)
 

@@ -236,6 +236,15 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
             if jax.process_index() == 0
             else None
         )
+        if (getattr(args, "eval_on_start", False) and len(eval_ds)
+                and teacher is not None and start_step == 0):
+            # train_ckpt0.sh --eval_on_start parity: the step-0 KD loss
+            # anchors the training curve before any update
+            eval_step_fn = make_eval_step(cfg, tc, teacher)
+            ev = evaluate(state, cfg, tc, teacher, eval_ds, collator,
+                          args.per_device_train_batch_size, beta, mesh,
+                          eval_step=eval_step_fn)
+            logger.info("eval loss (step 0) %.4f", ev)
         t0 = time.time()
         skip = start_step  # resume: replay the same shuffles, skip done steps
         for epoch in range(args.num_train_epochs):

@@ -115,7 +115,7 @@ def test_full_training_pipeline(tmp_path, tiny):
         model_max_length=64, max_train_samples=None,
         lr_scheduler_type="constant", warmup_ratio=0.0,
         save_steps=0, eval_steps=0, logging_steps=5, seed=0,
-        dp=None, tp=1, resume=False,
+        dp=None, tp=1, resume=False, eval_on_start=True,
     )
     summary = run_training(args, tokenizer=FakeTok(), model=(params, cfg))
     assert summary["steps"] > 0
