@@ -301,17 +301,28 @@ def quant_matmul_materialize(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
     return out.reshape(*x.shape[:-1], p.out_features)
 
 
+def _a8_enabled() -> bool:
+    import os
+
+    return os.environ.get("BITDISTILLER_QMM_A8", "") not in ("", "0")
+
+
 def quant_matmul(x: jnp.ndarray, p: PackedLinear, *, use_pallas: bool | None = None):
     """Packed matmul; picks the Pallas kernel on TPU, XLA path elsewhere.
 
     BITDISTILLER_QMM_MATERIALIZE_M=<M> (experiment flag) routes calls with
     at least M rows through quant_matmul_materialize.
+    BITDISTILLER_QMM_A8=1 (opt-in W{2,4}A8 serving mode) routes through the
+    int8-MXU kernel — cheaper unpack, but per-token 8-bit activation
+    quantization changes numerics; quality-sensitive paths keep A16.
     """
     mm = _materialize_min_m()
     if mm and x.size // p.in_features >= mm:
         return quant_matmul_materialize(x, p)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas and _a8_enabled() and p.bits in (2, 4):
+        return quant_matmul_a8(x, p)
     if use_pallas:
         return quant_matmul_pallas(x, p)
     return quant_matmul_xla(x, p)
