@@ -77,3 +77,69 @@ def test_sharded_engine_int8_cache():
     assert out == ref_out, (out, ref_out)
     assert eng.cache.k.dtype == jnp.int8
     assert not eng.cache.k_scale.sharding.is_fully_replicated
+
+
+def test_sharded_engine_behind_http_server():
+    """Production shape end-to-end: TP/DP-sharded packed engine served over
+    HTTP with mid-flight admission — sharded greedy responses must equal the
+    unsharded engine's outputs."""
+    import json
+    import threading
+    import urllib.request
+
+    from bitdistiller_tpu.serve.server import ServingFrontend
+
+    class IdTok:
+        def encode(self, s):
+            return [int(t) for t in s.split()]
+
+        def decode(self, ids, **kw):
+            return " ".join(str(i) for i in ids)
+
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    packed = pack_model(params, cfg, bits=4, group_size=64, fuse=False)
+    prompts = [[3, 5, 7], [11, 13, 17, 19]]
+
+    ref_eng = Engine(packed, cfg, max_slots=4, max_len=32,
+                     sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                     cache_dtype=jnp.float32)
+    ref_out = ref_eng.generate(prompts, max_new_tokens=6)
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_packed_model(packed, mesh, cfg)
+        eng = Engine(sharded, cfg, max_slots=4, max_len=32,
+                     sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                     cache_dtype=jnp.float32)
+        eng.cache = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            eng.cache, kv_cache_specs(),
+        )
+        front = ServingFrontend(eng, IdTok(), port=0)
+        t = threading.Thread(target=front.serve_forever)
+        t.start()
+        try:
+            host, port = front.address
+            results = {}
+
+            def hit(i, prompt):
+                body = json.dumps({
+                    "prompt": " ".join(str(x) for x in prompt),
+                    "max_new_tokens": 6, "temperature": 0.0,
+                }).encode()
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/generate", body,
+                    {"Content-Type": "application/json"})
+                results[i] = json.load(urllib.request.urlopen(req, timeout=120))
+
+            threads = [threading.Thread(target=hit, args=(i, p))
+                       for i, p in enumerate(prompts)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=120)
+        finally:
+            front.shutdown()
+            t.join(timeout=60)
+    assert [results[i]["tokens"] for i in range(2)] == ref_out
