@@ -147,6 +147,11 @@ def cmd_serve(args):
         decode_horizon=args.decode_horizon,
     )
     front = ServingFrontend(eng, tok, host=args.host, port=args.port)
+    import signal
+
+    # graceful drain: in-flight requests finish, then the engine loop exits
+    signal.signal(signal.SIGTERM, lambda *_: front.shutdown())
+    signal.signal(signal.SIGINT, lambda *_: front.shutdown())
     print(f"serving on http://{front.address[0]}:{front.address[1]} "
           f"({args.max_batch_size} slots, max_len {args.max_seq_len})")
     front.serve_forever()
