@@ -221,6 +221,9 @@ def main():
     cfg = make_cfg(args.layers)
     print(f"building int{args.bits}-g128 packed model ({args.layers} layers)...", file=sys.stderr)
     params = random_packed_params(cfg, jax.random.key(0), bits=args.bits, group_size=128)
+    from bitdistiller_tpu.ops.quant_matmul import maybe_repack_a8
+
+    params = maybe_repack_a8(params)  # BITDISTILLER_QMM_A8=1: W{2,4}A8 serving mode
     rng = np.random.default_rng(0)
 
     if args.mode == "prefill":

@@ -45,6 +45,8 @@ def _group_sizes(p: PackedLinear) -> tuple[int, int, int]:
 
 def quant_matmul_xla(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
     """x: [..., K] -> [..., N]; dense dequant then matmul (XLA fuses)."""
+    if p.a8_order:
+        raise ValueError("A8-ordered qweight cannot go through the pair-layout XLA path")
     k, n = p.in_features, p.out_features
     g = p.group_size
     # f32 compute: CPU XLA has no bf16xbf16->f32 dot thunk; on TPU the Pallas
@@ -228,6 +230,8 @@ def quant_matmul_pallas(
     region plus a small remainder call — measured 28% faster than degrading
     the whole matmul to gps=2 (the old fallback).
     """
+    if p.a8_order:
+        raise ValueError("A8-ordered qweight cannot go through the pair-layout Pallas path")
     k, n = p.in_features, p.out_features
     xf = x.reshape(-1, k)
     m = xf.shape[0]
@@ -316,11 +320,14 @@ def quant_matmul(x: jnp.ndarray, p: PackedLinear, *, use_pallas: bool | None = N
     int8-MXU kernel — cheaper unpack, but per-token 8-bit activation
     quantization changes numerics; quality-sensitive paths keep A16.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if p.a8_order:
+        # weights were repacked for the A8 kernel; no other path can read them
+        return quant_matmul_a8(x, p, interpret=not use_pallas)
     mm = _materialize_min_m()
     if mm and x.size // p.in_features >= mm:
         return quant_matmul_materialize(x, p)
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas and _a8_enabled() and p.bits in (2, 4):
         return quant_matmul_a8(x, p)
     if use_pallas:
@@ -465,13 +472,16 @@ def quant_matmul_a8(
     sx = jnp.max(jnp.abs(xf.astype(jnp.float32)), axis=1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-8)
     xi = jnp.clip(jnp.round(xf.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
-    kmap = _a8_perm(p.bits, p.group_size)
-    full_perm = (
-        np.arange(k).reshape(-1, p.group_size)[:, kmap].reshape(-1)
-        if p.group_size < k
-        else kmap
-    )
-    xi = xi[:, jnp.asarray(full_perm)]
+    if not p.a8_order:
+        # pair-layout weights: fold the extraction permutation into x per call
+        # (repack_linear_a8 folds it into the weights once instead)
+        kmap = _a8_perm(p.bits, p.group_size)
+        full_perm = (
+            np.arange(k).reshape(-1, p.group_size)[:, kmap].reshape(-1)
+            if p.group_size < k
+            else kmap
+        )
+        xi = xi[:, jnp.asarray(full_perm)]
     if block_m is None:
         block_m = min(128, max(32, _round_up(m, 32)))  # int8 sublane tile = 32
     block_n = min(block_n, n)
@@ -488,3 +498,61 @@ def quant_matmul_a8(
     if p.bias is not None:
         out = out + p.bias.astype(out.dtype)
     return out.astype(x.dtype).reshape(*x.shape[:-1], n)
+
+
+def pack_codes_a8(q_kn: jnp.ndarray, bits: int, group_size: int) -> jnp.ndarray:
+    """Pack natural-order codes [K, N] into the A8 kernel's extraction order.
+
+    The A8 kernel extracts code p = i*4R + 4r + j of each group from word
+    row r, byte lane j, bit-field i (see _dequant_block_int8): placing codes
+    by that map at pack time makes the extracted [G, bn] block come out in
+    natural k order, so activations need no per-call permutation.
+    """
+    k, n = q_kn.shape
+    pack = 32 // bits
+    g = group_size if group_size > 0 else k
+    r = g // pack
+    cpb = 8 // bits
+    q = q_kn.astype(jnp.uint32).reshape(k // g, cpb, r, 4, n)  # [g, i, r, j, n]
+    shift = (
+        jnp.arange(cpb, dtype=jnp.uint32)[:, None, None] * bits
+        + jnp.arange(4, dtype=jnp.uint32)[None, None, :] * 8
+    )  # [i, 1, j]
+    words = jnp.sum(q << shift[None, :, :, :, None], axis=(1, 3), dtype=jnp.uint32)
+    return words.reshape(k // pack, n).astype(jnp.int32)
+
+
+def repack_linear_a8(p: PackedLinear) -> PackedLinear:
+    """Re-order qweight from the pair layout into A8 extraction order (one-time).
+
+    Group statistics (scales/szeros/combo) are order-invariant within a group
+    and stay as-is. The returned PackedLinear routes exclusively through
+    quant_matmul_a8 (a8_order=True); pair-layout consumers raise.
+    """
+    import dataclasses
+
+    if p.a8_order:
+        return p
+    g = p.group_size
+
+    def one(qw2d):
+        codes = unpack_codes(qw2d, p.bits, g)
+        return pack_codes_a8(codes, p.bits, g)
+
+    qw = p.qweight
+    fn = one
+    for _ in range(qw.ndim - 2):  # stacked [L, K//pack, N] leaves
+        fn = jax.vmap(fn)
+    return dataclasses.replace(p, qweight=jax.jit(fn)(qw), a8_order=True)
+
+
+def maybe_repack_a8(params):
+    """Repack every PackedLinear leaf for W{2,4}A8 serving when
+    BITDISTILLER_QMM_A8=1; identity otherwise. Call once at model load."""
+    if not _a8_enabled():
+        return params
+    return jax.tree_util.tree_map(
+        lambda x: repack_linear_a8(x) if isinstance(x, PackedLinear) else x,
+        params,
+        is_leaf=lambda x: isinstance(x, PackedLinear),
+    )

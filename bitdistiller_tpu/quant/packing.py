@@ -38,7 +38,7 @@ import jax.numpy as jnp
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "scales", "szeros", "bias", "combo"],
-    meta_fields=["bits", "group_size", "in_features", "out_features"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "a8_order"],
 )
 @dataclasses.dataclass
 class PackedLinear:
@@ -57,6 +57,12 @@ class PackedLinear:
     # instead of two f32 reads (scale traffic is ~12% of step bytes at int2).
     # Derived from scales/szeros; rebuilt on load when absent.
     combo: jnp.ndarray | None = None
+    # True when qweight was repacked into the W{2,4}A8 kernel's byte
+    # extraction order (ops/quant_matmul.py: repack_linear_a8): codes land
+    # in natural k order straight out of the int8 bitcast, so the kernel
+    # skips the per-call activation permutation gather. Only the A8 kernel
+    # may consume such a layout; pair-layout consumers raise.
+    a8_order: bool = False
 
     @property
     def pack(self) -> int:
@@ -168,6 +174,8 @@ def quantize_pack_linear(
 
 def dequantize_linear(p: PackedLinear, dtype=jnp.float32) -> jnp.ndarray:
     """Reconstruct the dense [K, N] weight (XLA reference path)."""
+    if p.a8_order:
+        raise ValueError("qweight is in A8 extraction order; pair-layout dequant would scramble k")
     q = unpack_codes(p.qweight, p.bits, p.group_size).astype(jnp.float32)
     g = p.group_size
     scales = jnp.repeat(p.scales, g, axis=0)

@@ -84,7 +84,11 @@ class Engine:
         decode_horizon: int = 8,
         pipeline_rounds: bool = False,
     ):
-        self.params = params
+        from ..ops.quant_matmul import maybe_repack_a8
+
+        # BITDISTILLER_QMM_A8=1: one-time repack into the int8-MXU kernel's
+        # extraction order (kills the per-call activation permutation gather)
+        self.params = maybe_repack_a8(params)
         self.cfg = cfg
         self.max_slots = max_slots
         self.max_len = max_len

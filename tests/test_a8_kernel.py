@@ -73,3 +73,60 @@ def test_a8_close_on_float_inputs():
     want = np.asarray(x @ codes.astype(jnp.float32))
     denom = np.abs(want).mean()
     assert np.abs(out - want).mean() / denom < 0.02
+
+
+def test_a8_repack_matches_unrepacked():
+    """Weights repacked into extraction order give bit-identical results
+    without the per-call activation permutation."""
+    from bitdistiller_tpu.ops.quant_matmul import repack_linear_a8
+
+    for bits in (2, 4):
+        k, n, m = 512, 256, 8
+        p, codes = mk_packed(jax.random.key(0), k, n, bits)
+        x = jax.random.randint(jax.random.key(1), (m, k), -5, 6).astype(jnp.float32)
+        x = x.at[:, 0].set(127.0)
+        pr = repack_linear_a8(p)
+        assert pr.a8_order and not p.a8_order
+        out = quant_matmul_a8(x, pr, interpret=True)
+        want = x @ codes.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=0, rtol=0)
+
+
+def test_a8_repack_guards_pair_layout_paths():
+    from bitdistiller_tpu.ops.quant_matmul import (
+        quant_matmul_pallas, quant_matmul_xla, repack_linear_a8,
+    )
+    from bitdistiller_tpu.quant.packing import dequantize_linear
+
+    p, _ = mk_packed(jax.random.key(0), 256, 128, 2)
+    pr = repack_linear_a8(p)
+    x = jnp.ones((4, 256), jnp.float32)
+    for fn in (lambda: quant_matmul_xla(x, pr),
+               lambda: quant_matmul_pallas(x, pr, interpret=True),
+               lambda: dequantize_linear(pr)):
+        with pytest.raises(ValueError):
+            fn()
+
+
+def test_maybe_repack_a8_tree(monkeypatch):
+    """Env-gated tree repack hits stacked [L, Kp, N] leaves and is identity when off."""
+    from bitdistiller_tpu.ops.quant_matmul import maybe_repack_a8
+
+    p, codes = mk_packed(jax.random.key(0), 256, 128, 2)
+    import dataclasses
+    stacked = dataclasses.replace(
+        p, qweight=jnp.stack([p.qweight, p.qweight]),
+        scales=jnp.stack([p.scales, p.scales]),
+        szeros=jnp.stack([p.szeros, p.szeros]),
+    )
+    tree = {"layers": {"qkv": stacked}, "emb": jnp.zeros((4, 4))}
+    monkeypatch.delenv("BITDISTILLER_QMM_A8", raising=False)
+    assert maybe_repack_a8(tree)["layers"]["qkv"] is stacked
+    monkeypatch.setenv("BITDISTILLER_QMM_A8", "1")
+    out = maybe_repack_a8(tree)["layers"]["qkv"]
+    assert out.a8_order and out.qweight.shape == stacked.qweight.shape
+    # layer 0 of the stacked repack == repack of the single layer
+    from bitdistiller_tpu.ops.quant_matmul import repack_linear_a8
+    np.testing.assert_array_equal(
+        np.asarray(out.qweight[0]), np.asarray(repack_linear_a8(p).qweight)
+    )
