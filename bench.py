@@ -291,6 +291,15 @@ def main():
             eng.generate(prompts[:nbs], max_new_tokens=eng.horizon + 1)
         eng.generate(prompts[:1], max_new_tokens=eng.horizon - 1)  # tail horizons
         new_tokens = 128
+        # full-length single-slot warm: decode executables are shaped by
+        # (cache bucket, steps) only — one full trajectory grows the cache
+        # through every bucket the timed batch run will hit and compiles the
+        # per-bucket decode executables
+        eng.generate(prompts[:1], max_new_tokens=new_tokens)
+        # re-warm admission at the GROWN cache size (insert executables are
+        # shaped by the cache buffer too)
+        for nbs in warm_sizes:
+            eng.generate(prompts[:nbs], max_new_tokens=1)
         t0 = time.time()
         done = eng.run([
             Request(prompt_tokens=p, max_new_tokens=new_tokens) for p in prompts

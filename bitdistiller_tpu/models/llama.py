@@ -174,6 +174,7 @@ def _block(
     attn_bias: jnp.ndarray | None = None,  # ALiBi [B, Hq, S, T(+S)]
     linear_fn=None,  # (name, leaf, x) -> y hook; AutoClip capture plugs in here
     flash_args=None,  # (start [B] int32, window) -> use the Pallas decode kernel
+    attn_len: int | None = None,  # static: read only cache[:, :, :attn_len]
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
@@ -211,7 +212,7 @@ def _block(
             start, window = flash_args
             attn = flash_decode_attention(
                 q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), start,
-                window=window,
+                window=window, attn_len=attn_len,
             )
         else:
             fresh_dtype = k.dtype if ks is not None else ck.dtype
@@ -271,6 +272,7 @@ def forward(
     cache: Optional[KVCache] = None,
     cache_pos: int | jnp.ndarray = 0,  # scalar, or [B] for per-slot positions
     kv_valid: Optional[jnp.ndarray] = None,  # [B, T] bool — engine-provided
+    attn_len: Optional[int] = None,  # static: read only cache[:attn_len]
     attn_mask: Optional[jnp.ndarray] = None,  # [B, S] padding mask (training)
     remat: bool = False,
     return_kv: bool = False,  # cache-less mode: also return per-layer k/v
@@ -284,6 +286,15 @@ def forward(
     attention through the Pallas flash-decode kernel (online softmax over the
     head-major cache, ops/flash_decode.py); everything else uses the XLA
     two-piece attention.
+
+    attn_len (static) bounds the cache READ window via the flash-decode
+    kernel's grid (writes still land in the full [T_max] buffer; callers must
+    guarantee all valid cache positions are < attn_len). NB measured on v5e:
+    at rep<=2 GQA shapes the kernel's per-grid-cell overhead exceeds the
+    traffic saving, so the serving engine instead sizes the cache BUFFER
+    itself by length buckets (serve/engine.py:_ensure_cache) — which is what
+    the reference's FT mmha achieves with its tlength-based launch config
+    (csrc/attention/decoder_masked_multihead_attention.cu:30-60).
     """
     b, s = tokens.shape
     compute_dtype = jnp.dtype(cfg.dtype)
@@ -389,17 +400,32 @@ def forward(
     )
 
     # Pallas flash-decode path (ops/flash_decode.py): S=1, uniform layer
-    # mode, no ALiBi bias, no engine kv_valid override. Default OFF: on the
-    # benchmarked v5e the XLA two-piece attention over the head-major cache
-    # measures faster (633 GB/s vs 582 at T=2048, 395 vs 346 at T=256 —
-    # BENCH notes r2); the kernel is kept as a parity-tested alternative for
-    # hardware where many small einsums schedule worse.
+    # mode, no ALiBi bias, no engine kv_valid override. At the FULL window
+    # the XLA two-piece attention measures faster on v5e (633 GB/s vs 582 at
+    # T=2048 — BENCH notes r2), so plain decode defaults to XLA. attn_len
+    # (a bounded read window) requires the flash kernel — its grid is the
+    # only place the read set truly shrinks (XLA-level slices materialize
+    # copies: +1 ms/step measured) — so attn_len auto-enables it; but at
+    # 7B MHA (rep=1) the whole-model step measured 23.7 ms vs 14.8 full-
+    # window XLA, so the ENGINE uses bucket-sized cache buffers instead.
+    if cache is not None and (attn_len is None or attn_len >= cache.k.shape[3]):
+        attn_len = None
+    flash_ok = (
+        cache is not None
+        and s == 1
+        and not cache.quantized
+        and not cfg.alibi
+        and kv_valid is None
+        and not per_layer_sliding
+    )
     if use_flash_decode is None:
-        use_flash_decode = False
+        use_flash_decode = attn_len is not None and jax.default_backend() == "tpu"
     flash_args = None
-    if use_flash_decode and cache is not None and s == 1 and not cache.quantized:
+    if use_flash_decode and flash_ok:
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash_args = (start_vec, cfg.sliding_window)
+    else:
+        attn_len = None  # the XLA path always streams the full window
 
     def select_layer_mode(flag):
         """Pick (cos, sin, mask) for a layer by its sliding/global flag."""
@@ -430,7 +456,7 @@ def forward(
         c, si, m = select_layer_mode(flag)
         new_h, new_kv = _block(
             cfg, lp, hidden, c, si, m, (ck, cv, ks, vs), cache_pos, quantizer,
-            attn_bias=attn_bias, flash_args=flash_args,
+            attn_bias=attn_bias, flash_args=flash_args, attn_len=attn_len,
         )
         return new_h, new_kv
 

@@ -105,7 +105,7 @@ def _fd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "window", "interpret")
+    jax.jit, static_argnames=("block_t", "window", "attn_len", "interpret")
 )
 def flash_decode_attention(
     q: jnp.ndarray,  # [B, 1, Hq, D] single fresh token per sequence
@@ -117,15 +117,28 @@ def flash_decode_attention(
     *,
     block_t: int = 256,
     window: int | None = None,
+    attn_len: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, 1, Hq, D]; exact same math as cached_attention at S=1."""
+    """Returns [B, 1, Hq, D]; exact same math as cached_attention at S=1.
+
+    attn_len (static) bounds the KV-block GRID: cache planes past it are
+    never DMA'd, so HBM traffic scales with the engine's length bucket
+    instead of T_max. (An XLA-level slice cannot do this: slices feeding a
+    scan or a dot materialize a copy — measured +1 ms/step at 7B. The
+    kernel grid is the only place the read set is truly controlled.)
+    Callers must guarantee every start < attn_len."""
     b, s, hq, d = q.shape
     assert s == 1, "flash decode is the S=1 path"
     hkv, t = ck.shape[1], ck.shape[2]
     rep = hq // hkv
     while t % block_t != 0:
         block_t //= 2
+    if attn_len is not None and attn_len < t:
+        # partial trailing block is fine: `start` masking covers it
+        nt = max(1, -(-attn_len // block_t))
+    else:
+        nt = t // block_t
     qg = q.reshape(b, hkv, rep, d)
     kng = k_new.reshape(b, hkv, 1, d)
     vng = v_new.reshape(b, hkv, 1, d)
@@ -136,7 +149,7 @@ def flash_decode_attention(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, hkv, t // block_t),
+        grid=(b, hkv, nt),
         in_specs=[
             pl.BlockSpec((b, 1), lambda i, h, tt: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, rep, d), lambda i, h, tt: (i, h, 0, 0)),
@@ -156,9 +169,9 @@ def flash_decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * hq * t * d,
-            bytes_accessed=2 * b * hkv * t * d * ck.dtype.itemsize,
-            transcendentals=b * hq * t,
+            flops=4 * b * hq * nt * block_t * d,
+            bytes_accessed=2 * b * hkv * nt * block_t * d * ck.dtype.itemsize,
+            transcendentals=b * hq * nt * block_t,
         ),
         interpret=interpret,
     )(start.reshape(b, 1), qg, ck, cv, kng, vng)

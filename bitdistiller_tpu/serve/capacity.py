@@ -63,12 +63,22 @@ def serve_capacity(cfg: mcfg.ModelConfig, *, bits: int = 2,
                    group_size: int = 128, max_len: int = 2048,
                    kv_dtype=jnp.bfloat16, tp: int = 1,
                    hbm_bytes: int = 16 * GiB,
-                   reserve_frac: float = 0.10) -> dict:
+                   reserve_frac: float = 0.10,
+                   grow_cache: bool = True,
+                   cache_bucket_factor: int = 2) -> dict:
     """Max engine slots for one chip (or a tp group: weights and KV heads
     divide by tp). `reserve_frac` holds back HBM for activations,
-    executables, and donation transients."""
+    executables, and donation transients.
+
+    grow_cache (the engine default) sizes the peak for the WORST growth
+    step: old + new buffers coexist during the copy, so the last growth to
+    max_len peaks at (1 + 1/factor) x the full cache. Capacity-critical
+    deployments pass grow_cache=False (Engine(grow_cache=False)) to plan
+    against the flat full-size buffer."""
     weights = packed_model_bytes(cfg, bits=bits, group_size=group_size) // tp
     per_slot = kv_bytes_per_slot(cfg, max_len, kv_dtype) // tp
+    if grow_cache:
+        per_slot = per_slot + per_slot // cache_bucket_factor  # growth peak
     budget = int(hbm_bytes * (1 - reserve_frac)) - weights
     slots = max(budget // per_slot, 0)
     return {

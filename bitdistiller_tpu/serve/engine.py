@@ -59,11 +59,11 @@ class Request:
     decode_time: float = 0.0
 
 
-def _buckets(max_len: int, lo: int = 64):
+def _buckets(max_len: int, lo: int = 64, factor: int = 2):
     out, b = [], lo
     while b < max_len:
         out.append(b)
-        b *= 2
+        b *= factor
     out.append(max_len)
     return out
 
@@ -83,6 +83,8 @@ class Engine:
         seed: int = 0,
         decode_horizon: int = 8,
         pipeline_rounds: bool = False,
+        grow_cache: bool = True,
+        cache_bucket_factor: int = 2,
     ):
         from ..ops.quant_matmul import maybe_repack_a8
 
@@ -95,7 +97,22 @@ class Engine:
         self.sampling = sampling
         self.eos = eos_token_id
         self.rep_window = rep_window
-        self.cache = KVCache.init(cfg, max_slots, max_len, cache_dtype)
+        # grow_cache: the KV buffer is allocated at the smallest length
+        # bucket and physically re-allocated (zeros + copy) as contexts grow.
+        # Decode executables are shaped by the buffer, so rounds at short
+        # contexts run at native short-cache speed — decode is KV-traffic
+        # bound, and neither XLA slices (materialize a copy) nor a
+        # grid-bounded Pallas kernel (per-cell overhead at rep<=2) can trim
+        # the streamed window of a full-size buffer (all three measured on
+        # v5e; see NOTES). Growth copies are rare (one per bucket per fill)
+        # and amortize to ~one extra cache pass total. Peak HBM during a
+        # growth step is old+new (~1.5x the new buffer) — disable for
+        # capacity-critical configs.
+        self.grow_cache = grow_cache
+        self.cache_buckets = _buckets(max_len, factor=cache_bucket_factor)
+        first_len = self.cache_buckets[0] if grow_cache else max_len
+        self.cache = KVCache.init(cfg, max_slots, first_len, cache_dtype)
+        self._grow_fns: dict = {}
         self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
         self.key = jax.random.key(seed)
 
@@ -108,6 +125,11 @@ class Engine:
         self.active = np.zeros(max_slots, bool)
         self.cur_tokens = jnp.zeros(max_slots, jnp.int32)
         self._lengths_dev = jnp.zeros(max_slots, jnp.int32)
+        # host mirror of _lengths_dev (admission + per-dispatch advance,
+        # INCLUDING speculative in-flight horizons): upper-bounds every
+        # active slot's cache position without a device sync, so dispatch
+        # knows when the cache buffer must grow (see _ensure_cache)
+        self._len_ub = np.zeros(max_slots, np.int64)
         self._active_dev = jnp.zeros(max_slots, bool)
         self._active_dirty = True
         # per-slot sampling vectors (engine defaults until a request
@@ -248,6 +270,8 @@ class Engine:
         last_logits, kv = self._prefill(
             self.params, jnp.asarray(padded), jnp.asarray(last_idx)
         )
+        # the prefill KV rows must fit the buffer before insertion
+        self._ensure_cache(bucket)
         self.cache = self._insert(
             self.cache, kv, jnp.asarray(slot_arr), jnp.asarray(len(reqs))
         )
@@ -298,6 +322,7 @@ class Engine:
             req.prefill_time = dt
             self.slot_req[slot] = req
             self.lengths[slot] = plen
+            self._len_ub[slot] = plen
             self.active[slot] = True
         return firsts
 
@@ -324,9 +349,42 @@ class Engine:
             if req.on_finish is not None:
                 req.on_finish(req)
 
+    def _cache_len(self) -> int:
+        return self.cache.k.shape[3]
+
+    def _ensure_cache(self, needed: int):
+        """Grow the KV buffer to the smallest bucket covering `needed`
+        positions (never shrinks; no-op unless grow_cache)."""
+        needed = min(needed, self.max_len)
+        if not self.grow_cache or needed <= self._cache_len():
+            return
+        new_len = next(
+            (b for b in self.cache_buckets if b >= needed), self.max_len
+        )
+        # memoize the jitted grow per (old, new) pair; out_shardings pin the
+        # current leaf shardings so TP/DP-sharded caches stay distributed
+        shards = jax.tree_util.tree_map(lambda x: x.sharding, self.cache)
+        key = (self._cache_len(), new_len, tuple(jax.tree_util.tree_leaves(shards)))
+        fn = self._grow_fns.get(key)
+        if fn is None:
+            def grow(cache):
+                def one(buf):
+                    shape = list(buf.shape)
+                    shape[3] = new_len  # T axis of [L,B,H,T,D] / [L,B,H,T]
+                    nb = jnp.zeros(shape, buf.dtype)
+                    return jax.lax.dynamic_update_slice(nb, buf, (0,) * buf.ndim)
+
+                return jax.tree_util.tree_map(one, cache)
+
+            fn = jax.jit(grow, donate_argnums=(0,), out_shardings=shards)
+            self._grow_fns[key] = fn
+        self.cache = fn(self.cache)
+
     def _dispatch_decode(self, steps: int):
         """Dispatch one decode horizon; returns the device token block
         [steps, B]. No sync: cur_tokens/lengths advance on device."""
+        if self.active.any():
+            self._ensure_cache(int(self._len_ub[self.active].max()) + steps)
         toks, self.cache, self.prev_tokens, self.key = self._decode(
             self.params,
             self.cache,
@@ -342,8 +400,11 @@ class Engine:
         self.cur_tokens = toks[-1]  # device-side, no sync
         # device lengths advance uniformly for dispatch-active slots;
         # host lengths advance at processing time (skipping finished slots —
-        # divergence on inactive slots is masked and reset at admission)
+        # divergence on inactive slots is masked and reset at admission);
+        # the _len_ub mirror advances HERE so in-flight speculative rounds
+        # are already counted by the next dispatch's growth check
         self._lengths_dev = self._lengths_dev + steps * self._active_dev
+        self._len_ub += steps * self.active
         return toks
 
     def run(

@@ -40,15 +40,21 @@ def test_packed_weights_close():
 
 
 def test_7b_slot_counts_match_measured_reality():
-    """Measured on hardware (NOTES): bf16 KV cannot fit batch 16 at 2048
-    on 16 GB; int8 KV can. The estimator must reproduce that ordering."""
-    bf16 = serve_capacity(LLAMA2_7B, max_len=2048, hbm_bytes=16 * GiB)
+    """Measured on hardware (NOTES) with flat full-size caches
+    (grow_cache=False): bf16 KV cannot fit batch 16 at 2048 on 16 GB;
+    int8 KV can. The estimator must reproduce that ordering."""
+    bf16 = serve_capacity(LLAMA2_7B, max_len=2048, hbm_bytes=16 * GiB,
+                          grow_cache=False)
     i8 = serve_capacity(LLAMA2_7B, max_len=2048, kv_dtype=jnp.int8,
-                        hbm_bytes=16 * GiB)
+                        hbm_bytes=16 * GiB, grow_cache=False)
     assert bf16["max_slots"] >= 8  # the benched bf16 batch-8 config fits
     assert bf16["max_slots"] < 16  # bf16 batch 16 measured OOM
     assert i8["max_slots"] >= 16  # int8 batch 16 measured fitting
     # tp divides both weights and KV
-    tp2 = serve_capacity(LLAMA2_7B, max_len=2048, tp=2, hbm_bytes=16 * GiB)
+    tp2 = serve_capacity(LLAMA2_7B, max_len=2048, tp=2, hbm_bytes=16 * GiB,
+                         grow_cache=False)
     assert tp2["weights_bytes"] == bf16["weights_bytes"] // 2
     assert tp2["max_slots"] > bf16["max_slots"]
+    # a growing cache peaks at old+new during the copy -> fewer planned slots
+    grown = serve_capacity(LLAMA2_7B, max_len=2048, hbm_bytes=16 * GiB)
+    assert grown["max_slots"] < bf16["max_slots"]

@@ -250,3 +250,33 @@ def test_forward_flash_flag_matches_xla_path():
                                    rtol=1e-3, atol=1e-3)
     except Exception as e:  # pallas CPU lowering unavailable -> skip
         pytest.skip(f"pallas CPU path unavailable: {type(e).__name__}")
+
+
+def test_flash_decode_attn_len_bounds_grid():
+    """attn_len (the engine's length bucket) must not change results as long
+    as every start < attn_len — blocks past the bucket are never read."""
+    from bitdistiller_tpu.ops.flash_decode import flash_decode_attention
+
+    b, t, d, hq, hkv = 3, 128, 128, 8, 2
+    keys = jax.random.split(jax.random.key(2), 6)
+    q = jax.random.normal(keys[0], (b, 1, hq, d), jnp.float32)
+    ck = jax.random.normal(keys[1], (b, hkv, t, d), jnp.float32)
+    cv = jax.random.normal(keys[2], (b, hkv, t, d), jnp.float32)
+    kn = jax.random.normal(keys[3], (b, 1, hkv, d), jnp.float32)
+    vn = jax.random.normal(keys[4], (b, 1, hkv, d), jnp.float32)
+    start = jnp.asarray([0, 17, 30], jnp.int32)  # all < 32
+
+    want = _flash_ref(q, ck, cv, kn, vn, start)
+    for attn_len in (32, 40, 128):  # block-aligned, partial block, full
+        out = flash_decode_attention(
+            q, ck, cv, kn, vn, start, block_t=16, attn_len=attn_len,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+    # attn_len below one block still covers starts < block_t
+    out = flash_decode_attention(
+        q, ck, cv, kn, vn, start, block_t=64, attn_len=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)

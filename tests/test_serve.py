@@ -285,3 +285,61 @@ def test_engine_per_request_stop_tokens(tiny_engine):
     eng2.run([req])
     assert req.output_tokens == base[:3]
     assert req.finish_reason == "stop"
+
+
+def test_engine_attention_bucket_matches_full_window(tiny_engine):
+    """max_len much larger than any context: decode reads only the smallest
+    length bucket (attn_len), and outputs are identical to a small-max_len
+    engine whose bucket IS the full window."""
+    cfg, params = tiny_engine
+    prompts = [[3, 7, 11], [5, 2], [9, 9, 9, 1]]
+    outs = {}
+    for ml in (64, 512):  # 512 >> context: forces the sliced read path
+        eng = Engine(
+            params, cfg, max_slots=2, max_len=ml,
+            sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+        )
+        outs[ml] = eng.generate(prompts, max_new_tokens=8)
+    assert outs[64] == outs[512]
+
+
+def test_forward_attn_len_parity():
+    """attn_len trims only the read window: logits and cache writes match the
+    full-window forward exactly (bf16 and int8 caches)."""
+    from bitdistiller_tpu.models.llama import KVCache
+
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0))
+    B, T = 3, 64
+    for dtype in (jnp.float32, jnp.int8):
+        cache = KVCache.init(cfg, B, T, dtype)
+        toks = jax.random.randint(jax.random.key(1), (B, 5), 0, cfg.vocab_size)
+        _, cache = forward(params, cfg, toks, cache=cache,
+                           cache_pos=jnp.zeros(B, jnp.int32))
+        pos = jnp.full((B,), 5, jnp.int32)
+        nxt = jax.random.randint(jax.random.key(2), (B, 1), 0, cfg.vocab_size)
+        lf, cf = forward(params, cfg, nxt, cache=cache, cache_pos=pos)
+        lb, cb = forward(params, cfg, nxt, cache=cache, cache_pos=pos, attn_len=16)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lb), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(cf.k), np.asarray(cb.k))
+        np.testing.assert_array_equal(np.asarray(cf.v), np.asarray(cb.v))
+
+
+def test_engine_cache_growth_matches_static(tiny_engine):
+    """Contexts that outgrow the initial bucket force a physical cache
+    re-allocation; outputs must match a fixed full-size cache engine."""
+    cfg, params = tiny_engine
+    prompt = list(range(3, 61))  # plen 58: starts at bucket 64, crosses it
+    grown = Engine(
+        params, cfg, max_slots=2, max_len=256,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    static = Engine(
+        params, cfg, max_slots=2, max_len=256, grow_cache=False,
+        sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+    )
+    og = grown.generate([prompt], max_new_tokens=24)[0]
+    assert grown.cache.k.shape[3] == 128  # grew past the first bucket
+    assert static.cache.k.shape[3] == 256
+    os_ = static.generate([prompt], max_new_tokens=24)[0]
+    assert og == os_
