@@ -148,6 +148,9 @@ def main():
     ap.add_argument("--prefill-len", type=int, default=512)
     ap.add_argument("--train-bs", type=int, default=2,
                     help="train mode: micro-batch size (reference recipe: 2)")
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "save_quantized"],
+                    help="train mode: gradient-checkpoint policy")
     ap.add_argument("--skip-short-row", action="store_true")
     args = ap.parse_args()
 
@@ -173,7 +176,7 @@ def main():
         seq, bsz = (1024, args.train_bs) if full else (32, args.train_bs)
         tc = TrainConfig(quant_type=f"int{args.bits}-asym" if args.bits != 3 else "ste-n2f3",
                          q_group_size=128 if full else 32, kd_loss_type="cakld",
-                         gradient_checkpointing=True)
+                         gradient_checkpointing=True, remat_policy=args.remat)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
         # one jitted build: eager init is a remote compile per op on the relay

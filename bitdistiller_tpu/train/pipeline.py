@@ -146,6 +146,7 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         total_steps=max(total_micro // args.gradient_accumulation_steps, 1),
         grad_accum=args.gradient_accumulation_steps,
         param_dtype=getattr(args, "param_dtype", "bfloat16"),
+        remat_policy=getattr(args, "remat_policy", "full"),
     )
 
     if jax.process_count() > 1:

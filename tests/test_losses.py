@@ -113,3 +113,41 @@ def test_mse_and_dispatch(batch):
         assert np.isfinite(float(v))
     with pytest.raises(ValueError):
         kd_loss("nope", jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t))
+
+
+def test_cakld_fused_matches_reference_value_and_grad(batch):
+    """cakld_loss_fused (analytic VJP, the train-step default) must agree
+    with the restatement cakld_loss in value AND in gradients w.r.t. student
+    logits and beta — including through a stop-gradient'd teacher."""
+    import jax
+
+    from bitdistiller_tpu.train.losses import cakld_loss_fused
+
+    labels, s, t = batch
+    labels, s, t = jnp.asarray(labels), jnp.asarray(s), jnp.asarray(t)
+    beta = jnp.asarray(0.73)
+
+    def ref(zs, b):
+        return cakld_loss(labels, zs, jax.lax.stop_gradient(t), b)
+
+    def fused(zs, b):
+        return cakld_loss_fused(labels, zs, jax.lax.stop_gradient(t), b)
+
+    want, (gz_w, gb_w) = jax.value_and_grad(ref, argnums=(0, 1))(s, beta)
+    got, (gz_g, gb_g) = jax.value_and_grad(fused, argnums=(0, 1))(s, beta)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gz_g), np.asarray(gz_w), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(gb_g), float(gb_w), rtol=1e-4)
+
+    # bf16 logits (the production dtype): cotangents land in bf16 either way
+    sb, tb = s.astype(jnp.bfloat16), t.astype(jnp.bfloat16)
+    g_ref = jax.grad(lambda zs: cakld_loss(labels, zs, tb, beta))(sb)
+    g_fus = jax.grad(lambda zs: cakld_loss_fused(labels, zs, tb, beta))(sb)
+    np.testing.assert_allclose(
+        np.asarray(g_fus, np.float32), np.asarray(g_ref, np.float32),
+        rtol=0.05, atol=2e-4,
+    )
+
+    # kd_loss dispatch routes cakld through the fused path
+    d = kd_loss("cakld", labels, s, t, beta=beta)
+    np.testing.assert_allclose(float(d), float(want), rtol=1e-5)
