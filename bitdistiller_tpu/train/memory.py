@@ -63,8 +63,15 @@ def kd_train_memory_estimate(
     # remat residuals: one activation per layer boundary (+ a few working
     # copies, hence the 2x safety factor)
     acts = 2 * batch * seq * cfg.hidden_size * cfg.num_layers * 2
-    # f32 logits: student + teacher + ~2 softmax/log-softmax temporaries
-    logits = 4 * batch * seq * cfg.vocab_size * 4
+    # vocab-sized loss transients. cakld routes through the fused
+    # analytic-VJP loss (losses.py cakld_loss_fused): only the two bf16
+    # logit tensors persist to the backward ([B,S] stats otherwise).
+    # Other KD losses go through jax.grad, which saves ~2 f32 log-softmax
+    # residuals on top of the logits.
+    if tc.kd_loss_type == "cakld":
+        logits = 2 * batch * seq * cfg.vocab_size * 2
+    else:
+        logits = 4 * batch * seq * cfg.vocab_size * 4
     # fake-quant materializes one scanned layer's weight copy in f32
     embed = cfg.vocab_size * cfg.hidden_size
     quant_tmp = 4 * (n - embed) / max(cfg.num_layers, 1) / tp
@@ -104,3 +111,60 @@ def format_estimate(est: dict, label: str = "") -> str:
         f"{label}{est['params'] / 1e9:.2f}B params: "
         f"{est['total'] / GiB:.2f} GiB/chip ({parts})"
     )
+
+
+# v5e interconnect: ICI ~45 GB/s per link per direction inside a slice;
+# DCN (between hosts) planned at ~25 GB/s per host. XLA's latency-hiding
+# scheduler overlaps the gradient all-reduce with backward compute; 0.8 is
+# a conservative measured-elsewhere default, exposed for sensitivity runs.
+V5E_ICI_BW = 45e9
+V5E_DCN_BW = 25e9
+XLA_OVERLAP = 0.8
+
+
+def dp_train_scaling(
+    cfg: mcfg.ModelConfig,
+    tc: TrainConfig,
+    *,
+    t_step_s: float,
+    dp: int,
+    tp: int = 1,
+    chips_per_host: int = 8,
+    ici_bw: float = V5E_ICI_BW,
+    dcn_bw: float = V5E_DCN_BW,
+    overlap: float = XLA_OVERLAP,
+) -> dict:
+    """Projected KD-train scaling efficiency over a dp mesh axis.
+
+    Serving twin: serve/capacity.py tp_decode_scaling. The dp train step
+    adds exactly one collective family: the per-micro-step gradient
+    all-reduce (ZeRO-2 lowers it to reduce-scatter + the post-update param
+    all-gather — same ring bytes: 2*(dp-1)/dp of the bf16 gradient tree).
+    t_step_s must be a MEASURED (or MFU-derived-from-measured) single-chip
+    step; the model only adds communication, never invents speedups.
+
+    Hosts: dp groups of `chips_per_host` ride ICI; the inter-host share of
+    the ring rides DCN with each host's chips contributing shards
+    (hierarchical all-reduce), so DCN bytes divide by chips_per_host.
+    """
+    n = param_count(cfg)
+    grad_bytes = jnp.dtype(tc.param_dtype).itemsize * n / tp
+    if dp == 1:
+        return {"dp": 1, "t_step_s": t_step_s, "t_comm_s": 0.0,
+                "efficiency": 1.0}
+    hosts = max((dp * tp + chips_per_host - 1) // chips_per_host, 1)
+    ring = 2 * (dp - 1) / dp
+    t_ici = ring * grad_bytes / ici_bw
+    t_dcn = 0.0
+    if hosts > 1:
+        inter_ring = 2 * (hosts - 1) / hosts
+        t_dcn = inter_ring * grad_bytes / chips_per_host / dcn_bw
+    t_comm = (1.0 - overlap) * (t_ici + t_dcn)
+    eff = t_step_s / (t_step_s + t_comm)
+    return {
+        "dp": dp,
+        "hosts": hosts,
+        "t_step_s": t_step_s + t_comm,
+        "t_comm_s": t_comm,
+        "efficiency": eff,
+    }

@@ -55,3 +55,26 @@ def test_master_weights_toggle_reduces_state():
     assert e16["latent"] == e32["latent"] / 2
     assert e16["opt_state"] > e32["opt_state"]  # + f32 master, but /dp
     assert e16["total"] < e32["total"]
+
+
+def test_dp_train_scaling_projection():
+    """Train twin of tp_decode_scaling: dp gradient all-reduce modeled
+    against the MFU-derived 7B single-chip step (3.1 s from the measured
+    0.45 MFU at the reference recipe). BASELINE >=85% at 2+ hosts."""
+    from bitdistiller_tpu.train.memory import LLAMA2_7B, dp_train_scaling
+    from bitdistiller_tpu.train.trainer import TrainConfig
+
+    tc = TrainConfig()
+    effs = []
+    for dp in (1, 2, 8, 16, 32):
+        out = dp_train_scaling(LLAMA2_7B, tc, t_step_s=3.1, dp=dp)
+        effs.append(out["efficiency"])
+    assert effs[0] == 1.0
+    assert all(a >= b for a, b in zip(effs, effs[1:]))
+    assert effs[-1] >= 0.85  # 32 chips = 4 hosts
+    out16 = dp_train_scaling(LLAMA2_7B, tc, t_step_s=3.1, dp=16)
+    assert out16["hosts"] == 2
+    assert out16["efficiency"] >= 0.85
+    # zero overlap is the pessimistic bound; must still be ordered
+    pess = dp_train_scaling(LLAMA2_7B, tc, t_step_s=3.1, dp=16, overlap=0.0)
+    assert pess["efficiency"] < out16["efficiency"]
