@@ -137,3 +137,33 @@ def test_http_sse_streaming(frontend):
     assert toks == base["tokens"]
     assert done["finish_reason"] == "length"
     assert done["text"] == base["text"]
+
+
+def test_loadtest_script_against_frontend(frontend):
+    """scripts/loadtest.py run_load drives concurrent JSON and SSE traffic
+    and produces a coherent summary (every request served, tokens counted)."""
+    import importlib.util
+    import os
+
+    front, url, params, cfg = frontend
+    spec = importlib.util.spec_from_file_location(
+        "loadtest",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "loadtest.py"),
+    )
+    lt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lt)
+
+    bodies = [
+        {"prompt_tokens": [3 + (i % 7), 5, 9], "max_new_tokens": 4,
+         "temperature": 0.0}
+        for i in range(6)
+    ]
+    summary = lt.run_load(f"{url}/generate", bodies, concurrency=3)
+    assert summary["errors"] == 0 and summary["ok"] == 6
+    assert summary["throughput_tok_s"] > 0
+    assert summary["latency_p50_s"] <= summary["latency_p99_s"]
+    assert summary["prefill_p50_s"] >= 0
+
+    sse = lt.run_load(f"{url}/generate", bodies[:3], concurrency=2, stream=True)
+    assert sse["errors"] == 0 and sse["ok"] == 3
+    assert sse["ttft_p50_s"] > 0
