@@ -44,7 +44,37 @@ from bitdistiller_tpu.train import (
 )
 
 VOCAB = 256
-SEQ = 256
+SEQ = 256  # overridden by --corpus source (byte-level, longer blocks)
+
+
+def source_corpus(max_bytes: int, hold_every: int = 20):
+    """REAL text: the Python source shipped in this image (site-packages),
+    byte-level (vocab 256). Deterministic file walk; every `hold_every`-th
+    file is held out for eval, so eval measures generalization to unseen
+    files of the same distribution — the strongest available stand-in for
+    WikiText given zero egress."""
+    import glob
+
+    roots = ["/opt/venv/lib/python3.12/site-packages"]
+    files = []
+    for root in roots:
+        files.extend(sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                                      recursive=True)))
+    train_parts, eval_parts, total = [], [], 0
+    for i, path in enumerate(files):
+        if total >= max_bytes:
+            break
+        try:
+            data = open(path, "rb").read()
+        except OSError:
+            continue
+        if not (256 < len(data) < 1 << 20):
+            continue
+        (eval_parts if i % hold_every == 0 else train_parts).append(data)
+        total += len(data)
+    train = np.frombuffer(b"\n".join(train_parts), np.uint8).astype(np.int32)
+    evl = np.frombuffer(b"\n".join(eval_parts), np.uint8).astype(np.int32)
+    return train, evl
 
 
 def make_corpus(n_tokens: int, seed: int, table_seed: int = 7) -> np.ndarray:
@@ -83,8 +113,8 @@ def batches_from_blocks(blocks: np.ndarray, bs: int, rng: np.random.Generator):
         }
 
 
-def train_teacher(cfg, blocks, steps, bs, log):
-    tc = TrainConfig(quant_type=None, train_kd=False, learning_rate=3e-3,
+def train_teacher(cfg, blocks, steps, bs, log, lr=3e-3):
+    tc = TrainConfig(quant_type=None, train_kd=False, learning_rate=lr,
                      lr_scheduler="cosine", total_steps=steps,
                      gradient_checkpointing=False, max_grad_norm=1.0)
     params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
@@ -147,28 +177,54 @@ def kd_qat(cfg, student_init, teacher, gen_pairs, quant_type, gsize, steps, bs, 
 
 
 def main():
+    global SEQ
     ap = argparse.ArgumentParser()
-    ap.add_argument("--teacher-steps", type=int, default=1500)
-    ap.add_argument("--qat-steps", type=int, default=400)
+    ap.add_argument("--corpus", choices=["markov", "source"], default="markov",
+                    help="markov: synthetic order-2 language (tiny, fast); "
+                    "source: byte-level REAL Python source from this image "
+                    "(~26M-param model, headline g128 configs)")
+    ap.add_argument("--teacher-steps", type=int, default=None)
+    ap.add_argument("--qat-steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--gen-samples", type=int, default=256)
-    ap.add_argument("--group-size", type=int, default=64)
+    ap.add_argument("--group-size", type=int, default=None)
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
     log = lambda s: print(s, file=sys.stderr, flush=True)
 
-    cfg = ModelConfig(vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
-                      num_layers=6, num_heads=8, num_kv_heads=8,
-                      max_position_embeddings=SEQ)
-    G = args.group_size
-
-    log("building corpus...")
-    train_blocks = blocks_of(make_corpus(1_200_000, seed=7))
-    eval_blocks = blocks_of(make_corpus(64_000, seed=99))[:192]
+    if args.corpus == "source":
+        SEQ = 512
+        args.teacher_steps = args.teacher_steps or 4000
+        args.qat_steps = args.qat_steps or 600
+        G = args.group_size or 128
+        cfg = ModelConfig(vocab_size=VOCAB, hidden_size=512,
+                          intermediate_size=1408, num_layers=8, num_heads=8,
+                          num_kv_heads=8, max_position_embeddings=SEQ)
+        log("reading source corpus...")
+        train_stream, eval_stream = source_corpus(48 << 20)
+        train_blocks = blocks_of(train_stream)
+        eval_blocks = blocks_of(eval_stream)[:192]
+        log(f"  {len(train_blocks)} train / {len(eval_blocks)} eval blocks of {SEQ}")
+        corpus_desc = (
+            f"byte-level REAL text: {len(train_blocks) * SEQ / 1e6:.0f} MB of "
+            "Python source shipped in this image (held-out files for eval)"
+        )
+    else:
+        args.teacher_steps = args.teacher_steps or 1500
+        args.qat_steps = args.qat_steps or 400
+        G = args.group_size or 64
+        cfg = ModelConfig(vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+                          num_layers=6, num_heads=8, num_kv_heads=8,
+                          max_position_embeddings=SEQ)
+        log("building corpus...")
+        train_blocks = blocks_of(make_corpus(1_200_000, seed=7))
+        eval_blocks = blocks_of(make_corpus(64_000, seed=99))[:192]
+        corpus_desc = f"an order-2 Markov language (vocab {VOCAB})"
     calib_blocks = train_blocks[:16]
 
     log(f"training teacher ({args.teacher_steps} steps)...")
-    teacher = train_teacher(cfg, train_blocks, args.teacher_steps, args.batch, log)
+    teacher = train_teacher(cfg, train_blocks, args.teacher_steps, args.batch,
+                            log, lr=1e-3 if args.corpus == "source" else 3e-3)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
 
     def ppl(params, quantizer=None):
@@ -217,12 +273,12 @@ def main():
         "No public checkpoints are reachable here (zero egress), so this is the",
         "method run end-to-end on a genuinely-trained model instead: a "
         f"{n_params/1e6:.1f}M-param",
-        f"decoder trained {args.teacher_steps} steps on an order-2 Markov language "
-        f"(vocab {VOCAB}),",
+        f"decoder trained {args.teacher_steps} steps on {corpus_desc},",
         "then RTN -> AutoClip -> teacher self-generation (engine, T=0.7) -> CAKLD",
         f"KD-QAT ({args.qat_steps} steps) -> pack. Held-out PPL (192 x {SEQ}-token "
         "blocks, PTQ",
-        "rounding, K-axis grid). Reproduce: `python scripts/method_demo.py`.",
+        "rounding, K-axis grid). Reproduce: "
+        f"`python scripts/method_demo.py --corpus {args.corpus}`.",
         "",
         f"Teacher (bf16): **{teacher_ppl:.3f}** PPL",
         "",
