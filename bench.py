@@ -21,6 +21,7 @@ Modes: decode (default) | prefill (tok/s + TTFT + MFU fields) | engine
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -137,7 +138,8 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--bits", type=int, default=2)
-    ap.add_argument("--mode", choices=["decode", "prefill", "engine", "train"],
+    ap.add_argument("--mode",
+                    choices=["decode", "prefill", "engine", "train", "serve"],
                     default="decode")
     ap.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
     ap.add_argument("--horizon", type=int, default=16,
@@ -319,6 +321,72 @@ def main():
             "value": round(e2e, 1),
             "unit": "tokens/s",
             "vs_baseline": round(e2e / raw_tps, 4),  # fraction of raw decode
+        }))
+        return
+
+    if args.mode == "serve":
+        # ONLINE serving on the chip: the HTTP frontend + loadtest client
+        # (scripts/loadtest.py) — concurrent requests admitted mid-flight,
+        # TTFT/latency percentiles, sustained tok/s through the full stack
+        import importlib.util
+        import threading
+
+        from bitdistiller_tpu.serve import Engine, SamplingParams
+        from bitdistiller_tpu.serve.server import ServingFrontend
+
+        spec = importlib.util.spec_from_file_location(
+            "loadtest",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "loadtest.py"),
+        )
+        lt = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(lt)
+
+        class IdTok:  # token-id passthrough (no text tokenizer needed)
+            def encode(self, s):
+                return [3 + (ord(c) % 251) for c in s]
+
+            def decode(self, ids, **kw):
+                return " ".join(str(i) for i in ids)
+
+        eng = Engine(
+            params, cfg, max_slots=args.batch, max_len=1024,
+            sampling=SamplingParams(temperature=0.7), eos_token_id=None,
+            decode_horizon=args.horizon,
+            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+        )
+        front = ServingFrontend(eng, IdTok(), port=0)
+        t = threading.Thread(target=front.serve_forever)
+        t.start()
+        host, port = front.address
+        url = f"http://{host}:{port}/generate"
+
+        def bodies(n, max_new):
+            return [{
+                "prompt_tokens": list(map(int, rng.integers(0, cfg.vocab_size, (128,)))),
+                "max_new_tokens": max_new, "temperature": 0.7,
+            } for _ in range(n)]
+
+        print("warming serving executables...", file=sys.stderr)
+        lt.run_load(url, bodies(args.batch * 2, 130), concurrency=args.batch)
+        print("measuring...", file=sys.stderr)
+        summary = lt.run_load(
+            url, bodies(args.batch * 4, 128), concurrency=args.batch
+        )
+        sse = lt.run_load(url, bodies(4, 32), concurrency=2, stream=True)
+        front.shutdown()
+        t.join(timeout=120)
+        print(json.dumps({
+            "metric": f"int{args.bits}-g128 packed 7B ONLINE serving (HTTP), "
+                      f"{args.batch} slots, 1 chip",
+            "value": summary["throughput_tok_s"],
+            "unit": "tokens/s",
+            "vs_baseline": 0.0 if summary["errors"] else 1.0,  # error-free run
+            "latency_p50_s": summary["latency_p50_s"],
+            "latency_p99_s": summary["latency_p99_s"],
+            "ttft_p50_s": sse.get("ttft_p50_s"),
+            "requests": summary["requests"],
+            "errors": summary["errors"] + sse["errors"],
         }))
         return
 

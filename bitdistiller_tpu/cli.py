@@ -145,6 +145,7 @@ def cmd_serve(args):
         eos_token_id=tok.eos_token_id,
         cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         decode_horizon=args.decode_horizon,
+        prompt_cache_size=args.prompt_cache_size,
     )
     front = ServingFrontend(eng, tok, host=args.host, port=args.port)
     import signal
@@ -400,6 +401,10 @@ def build_parser():
     sv.add_argument("--top_p", type=float, default=0.95)
     sv.add_argument("--decode_horizon", type=int, default=16)
     sv.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
+    sv.add_argument("--prompt_cache_size", type=int, default=0,
+                    help="LRU entries of prompt-prefill KV kept on device; "
+                    "requests with cache_prompt=true skip prefill on repeat "
+                    "(each 512-token 7B entry ~270 MB HBM)")
     sv.set_defaults(fn=cmd_serve)
 
     ch = sub.add_parser("chat", help="interactive chat on a packed model")

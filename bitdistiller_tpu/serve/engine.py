@@ -50,6 +50,12 @@ class Request:
     # called once when the request finishes (online serving wakes the
     # waiting HTTP handler here)
     on_finish: Optional[Callable[["Request"], None]] = None
+    # opt-in prompt caching: store this prompt's prefill KV (device memory!)
+    # so later requests with the SAME prompt skip prefill entirely. Needs
+    # Engine(prompt_cache_size > 0). Identical prompts inside one admission
+    # group are deduplicated regardless (one prefill row, many slots) — the
+    # best-of-n / majority-vote shape (test/gsm8k ensemble mode).
+    cache_prompt: bool = False
     # filled by the engine:
     output_tokens: list = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -85,6 +91,7 @@ class Engine:
         pipeline_rounds: bool = False,
         grow_cache: bool = True,
         cache_bucket_factor: int = 2,
+        prompt_cache_size: int = 0,
     ):
         from ..ops.quant_matmul import maybe_repack_a8
 
@@ -109,6 +116,17 @@ class Engine:
         # growth step is old+new (~1.5x the new buffer) — disable for
         # capacity-critical configs.
         self.grow_cache = grow_cache
+        # prompt cache: tuple(prompt) -> (kv [L,1,Pb,H,D] prefill-layout
+        # bf16, last_logits [V], plen). LRU-capped at prompt_cache_size
+        # entries; each 7B 512-token entry holds ~270 MB of HBM — size it.
+        # Stored raw (pre-quantization): _insert requantizes for int8 caches.
+        import collections
+
+        self.prompt_cache_size = prompt_cache_size
+        self._prompt_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._slice_fns: dict = {}
+        self.prompt_cache_hits = 0
+        self.prompt_cache_misses = 0
         self.cache_buckets = _buckets(max_len, factor=cache_bucket_factor)
         first_len = self.cache_buckets[0] if grow_cache else max_len
         self.cache = KVCache.init(cfg, max_slots, first_len, cache_dtype)
@@ -164,6 +182,11 @@ class Engine:
             donate_argnums=(1,),
         )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        # donate the per-slot state vectors: updated in place, no copies
+        self._admit_commit = jax.jit(
+            self._admit_commit_impl, static_argnames=("custom",),
+            donate_argnums=tuple(range(8, 16)),
+        )
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -172,16 +195,18 @@ class Engine:
         last = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
         return last, kv  # [nb, V], KV [L, nb, S, H, D]
 
-    def _insert_impl(self, cache: KVCache, kv: KVCache, slots, n_valid):
+    def _insert_impl(self, cache: KVCache, kv: KVCache, slots, rows, n_valid):
         # kv: [L, nb, S, H, D] from prefill -> transpose to the cache's
         # head-major [L, B, H, T, D] and write rows [0, S) of the first
-        # n_valid slots (nb is padded to max_slots so admission-group size
-        # never recompiles); rows beyond the true prompt length hold padding
-        # junk but stay masked by the per-slot position (t < cache_pos)
+        # n_valid slots; `rows[i]` picks the kv row for slot i (identical
+        # prompts in one admission group share a prefill row). Rows beyond
+        # the true prompt length hold padding junk but stay masked by the
+        # per-slot position (t < cache_pos)
         def upd(buf, new):
             def one(b, i):
                 return jax.lax.dynamic_update_slice(
-                    b, new[:, i].astype(b.dtype)[:, None], (0, slots[i], 0, 0, 0)
+                    b, new[:, rows[i]].astype(b.dtype)[:, None],
+                    (0, slots[i], 0, 0, 0),
                 )
 
             return jax.lax.fori_loop(0, n_valid, lambda i, b: one(b, i), buf)
@@ -189,7 +214,7 @@ class Engine:
         def supd(buf, new):  # scales [L, nb, H, S] -> rows of [L, B, H, T]
             def one(b, i):
                 return jax.lax.dynamic_update_slice(
-                    b, new[:, i][:, None], (0, slots[i], 0, 0)
+                    b, new[:, rows[i]][:, None], (0, slots[i], 0, 0)
                 )
 
             return jax.lax.fori_loop(0, n_valid, lambda i, b: one(b, i), buf)
@@ -206,6 +231,34 @@ class Engine:
                 k_scale=supd(cache.k_scale, nks), v_scale=supd(cache.v_scale, nvs),
             )
         return KVCache(k=upd(cache.k, nk), v=upd(cache.v, nv))
+
+    def _admit_commit_impl(self, last_logits, slot_idx, temps_n, topks_n,
+                           topps_n, reppens_n, plens, sub, prev_tokens,
+                           temps, top_ks, top_ps, rep_pens, cur_tokens,
+                           lengths_dev, active_dev, custom=False):
+        """All per-slot device state of one admission in one executable.
+        last_logits: [n, V] prompt logits in request order; slot_idx: [n]."""
+        prev_tokens = prev_tokens.at[slot_idx].set(-1)
+        temps = temps.at[slot_idx].set(temps_n)
+        top_ks = top_ks.at[slot_idx].set(topks_n)
+        top_ps = top_ps.at[slot_idx].set(topps_n)
+        rep_pens = rep_pens.at[slot_idx].set(reppens_n)
+        if custom:
+            firsts = sample_tokens_batched(
+                sub, last_logits, temps[slot_idx], top_ks[slot_idx],
+                top_ps[slot_idx], rep_pens[slot_idx], prev_tokens[slot_idx],
+            )
+        else:
+            firsts = sample_tokens(
+                sub, last_logits, self.sampling, prev_tokens[slot_idx]
+            )
+        # the first token joins the window so decode's penalty sees it
+        prev_tokens = prev_tokens.at[slot_idx, -1].set(firsts)
+        cur_tokens = cur_tokens.at[slot_idx].set(firsts)
+        lengths_dev = lengths_dev.at[slot_idx].set(plens)
+        active_dev = active_dev.at[slot_idx].set(True)
+        return (firsts, prev_tokens, temps, top_ks, top_ps, rep_pens,
+                cur_tokens, lengths_dev, active_dev)
 
     def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key,
                      samp, steps=1, custom=False):
@@ -245,78 +298,153 @@ class Engine:
                 return i
         return None
 
+    def _slice_entry(self, kv: KVCache, last_logits, row: int, pb: int):
+        """Slice one prefill row down to its own length bucket for the
+        prompt cache (jitted, memoized per shape pair)."""
+        key = (kv.k.shape, pb)
+        fn = self._slice_fns.get(key)
+        if fn is None:
+            def f(k, v, ll, r):
+                L, _, _, H, D = k.shape
+                ek = jax.lax.dynamic_slice(k, (0, r, 0, 0, 0), (L, 1, pb, H, D))
+                ev = jax.lax.dynamic_slice(v, (0, r, 0, 0, 0), (L, 1, pb, H, D))
+                el = jax.lax.dynamic_slice(ll, (r, 0), (1, ll.shape[1]))[0]
+                return ek, ev, el
+
+            fn = jax.jit(f)
+            self._slice_fns[key] = fn
+        ek, ev, el = fn(kv.k, kv.v, last_logits, jnp.asarray(row, jnp.int32))
+        return KVCache(k=ek, v=ev), el
+
     def _admit_group(self, reqs: list, slots: list):
         """Prefill several requests in ONE batched call and insert each into
-        its slot (serial per-request prefills stall the whole batch)."""
+        its slot (serial per-request prefills stall the whole batch).
+
+        Identical prompts inside the group share one prefill row (the
+        best-of-n / majority-vote shape); with prompt_cache_size > 0,
+        prompts stored by an earlier Request(cache_prompt=True) skip
+        prefill entirely — their KV rows copy from the cache entry and the
+        first token samples from the stored prompt logits."""
         t0 = time.time()
+        n = len(reqs)
         # truncate from the left so the cache never overflows (positions past
         # max_len would silently clamp in dynamic_update_slice)
         plens = [min(len(r.prompt_tokens), self.max_len - 1) for r in reqs]
-        bucket = next(b for b in self.buckets if b >= max(plens))
-        # admission batch rounded to a power-of-two bucket: prefill compute
-        # scales with the group instead of always paying max_slots rows
-        # (compiles bounded: one per (len-bucket, nb-bucket) pair)
-        nb = 1
-        while nb < len(reqs):
-            nb *= 2
-        nb = min(nb, self.max_slots)
-        padded = np.zeros((nb, bucket), np.int32)
-        last_idx = np.zeros(nb, np.int32)
-        slot_arr = np.zeros(nb, np.int32)
-        for i, (r, pl) in enumerate(zip(reqs, plens)):
-            padded[i, :pl] = r.prompt_tokens[-pl:]
-            last_idx[i] = pl - 1
-            slot_arr[i] = slots[i]
-        last_logits, kv = self._prefill(
-            self.params, jnp.asarray(padded), jnp.asarray(last_idx)
-        )
-        # the prefill KV rows must fit the buffer before insertion
-        self._ensure_cache(bucket)
-        self.cache = self._insert(
-            self.cache, kv, jnp.asarray(slot_arr), jnp.asarray(len(reqs))
-        )
-        # reset the repetition-penalty window of re-used slots BEFORE sampling:
-        # a recycled slot must not penalize the new request with the previous
-        # request's recent tokens
-        admit_idx = jnp.asarray(slot_arr[: len(reqs)])
-        self.prev_tokens = self.prev_tokens.at[admit_idx].set(-1)
-        # per-slot sampling vectors: request overrides land here; defaults
-        # restore rows a previous custom request used
-        eff = [r.sampling or self.sampling for r in reqs]
-        self._temps = self._temps.at[admit_idx].set(
-            jnp.asarray([s.temperature for s in eff], jnp.float32))
-        self._top_ks = self._top_ks.at[admit_idx].set(
-            jnp.asarray([s.top_k for s in eff], jnp.int32))
-        self._top_ps = self._top_ps.at[admit_idx].set(
-            jnp.asarray([s.top_p for s in eff], jnp.float32))
-        self._rep_pens = self._rep_pens.at[admit_idx].set(
-            jnp.asarray([s.repetition_penalty for s in eff], jnp.float32))
+        keys = [tuple(r.prompt_tokens[-pl:]) for r, pl in zip(reqs, plens)]
+
+        hits: dict[int, tuple] = {}
+        if self.prompt_cache_size:
+            for i, k in enumerate(keys):
+                e = self._prompt_cache.get(k)
+                if e is not None:
+                    self._prompt_cache.move_to_end(k)  # LRU touch
+                    hits[i] = e
+            self.prompt_cache_hits += len(hits)
+            self.prompt_cache_misses += n - len(hits)
+
+        # one prefill row per UNIQUE missing prompt
+        uniq: dict[tuple, int] = {}
+        row_of: dict[int, int] = {}
+        for i, k in enumerate(keys):
+            if i in hits:
+                continue
+            if k not in uniq:
+                uniq[k] = len(uniq)
+            row_of[i] = uniq[k]
+        miss_idx = sorted(row_of)
+
+        miss_last = kv = None
+        if uniq:
+            bucket = next(
+                b for b in self.buckets if b >= max(plens[i] for i in miss_idx)
+            )
+            # prefill batch rounded to a power-of-two bucket: compute scales
+            # with the group; compiles bounded per (len-bucket, nb-bucket)
+            nb = 1
+            while nb < len(uniq):
+                nb *= 2
+            nb = min(nb, self.max_slots)
+            padded = np.zeros((nb, bucket), np.int32)
+            last_idx = np.zeros(nb, np.int32)
+            for k, row in uniq.items():
+                padded[row, : len(k)] = k
+                last_idx[row] = len(k) - 1
+            miss_last, kv = self._prefill(
+                self.params, jnp.asarray(padded), jnp.asarray(last_idx)
+            )
+            # the prefill KV rows must fit the buffer before insertion
+            self._ensure_cache(bucket)
+            ns = 1
+            while ns < len(miss_idx):
+                ns *= 2
+            ns = min(ns, self.max_slots)
+            slot_arr = np.zeros(ns, np.int32)
+            rows_arr = np.zeros(ns, np.int32)
+            for j, i in enumerate(miss_idx):
+                slot_arr[j] = slots[i]
+                rows_arr[j] = row_of[i]
+            self.cache = self._insert(
+                self.cache, kv, jnp.asarray(slot_arr), jnp.asarray(rows_arr),
+                jnp.asarray(len(miss_idx)),
+            )
+            if self.prompt_cache_size:
+                for i in miss_idx:
+                    if not reqs[i].cache_prompt or keys[i] in self._prompt_cache:
+                        continue
+                    pb = next(b for b in self.buckets if b >= plens[i])
+                    ekv, el = self._slice_entry(kv, miss_last, row_of[i], pb)
+                    self._prompt_cache[keys[i]] = (ekv, el, plens[i])
+                    while len(self._prompt_cache) > self.prompt_cache_size:
+                        self._prompt_cache.popitem(last=False)
+
+        # cache-hit inserts: stored prefill rows copy straight into the slot
+        # (compiles bounded by the entry's length bucket)
+        one_row = jnp.zeros(1, jnp.int32)
+        for i, (ekv, el, _pl) in hits.items():
+            self._ensure_cache(ekv.k.shape[2])
+            self.cache = self._insert(
+                self.cache, ekv,
+                jnp.asarray(np.asarray([slots[i]], np.int32)),
+                one_row, jnp.asarray(1),
+            )
+
+        # per-request last-prompt-logits rows, in request order
+        if not hits:
+            last_logits = jnp.take(
+                miss_last, jnp.asarray([row_of[i] for i in range(n)]), axis=0
+            )
+        else:
+            last_logits = jnp.stack([
+                hits[i][1] if i in hits else miss_last[row_of[i]]
+                for i in range(n)
+            ])
+        # ONE jitted commit for all per-slot device state: rep-window reset,
+        # sampling vectors, first-token sampling from the prompt logits,
+        # cur_tokens/lengths/active mirrors. These used to be ~9 eager ops —
+        # each a full dispatch round-trip on a relay-attached chip, paid at
+        # EVERY mid-flight admission (online serving admits nearly every
+        # round at steady state).
         for r, slot in zip(reqs, slots):
             self._slot_custom[slot] = r.sampling is not None
-        # first sampled token from prompt logits — kept ON DEVICE: run() reads
-        # it together with the next decode horizon in one host sync (a sync
-        # here would stall the decode dispatch behind prefill)
+        eff = [r.sampling or self.sampling for r in reqs]
         self.key, sub = jax.random.split(self.key)
-        if any(r.sampling is not None for r in reqs):
-            firsts = sample_tokens_batched(
-                sub, last_logits,
-                self._temps[slot_arr], self._top_ks[slot_arr],
-                self._top_ps[slot_arr], self._rep_pens[slot_arr],
-                self.prev_tokens[slot_arr],
-            )[: len(reqs)]
-        else:
-            firsts = sample_tokens(
-                sub, last_logits, self.sampling, self.prev_tokens[slot_arr]
-            )[: len(reqs)]
-        # the first token joins the window so decode's penalty sees it
-        self.prev_tokens = self.prev_tokens.at[admit_idx, -1].set(firsts)
-        self.cur_tokens = self.cur_tokens.at[admit_idx].set(firsts)
-        # device mirrors: lengths/active for the admitted slots (one tiny
-        # upload per admission, none per decode round)
-        self._lengths_dev = self._lengths_dev.at[admit_idx].set(
-            jnp.asarray(plens, jnp.int32)
+        custom = any(r.sampling is not None for r in reqs)
+        (firsts, self.prev_tokens, self._temps, self._top_ks, self._top_ps,
+         self._rep_pens, self.cur_tokens, self._lengths_dev,
+         self._active_dev) = self._admit_commit(
+            last_logits,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray([s.temperature for s in eff], jnp.float32),
+            jnp.asarray([s.top_k for s in eff], jnp.int32),
+            jnp.asarray([s.top_p for s in eff], jnp.float32),
+            jnp.asarray([s.repetition_penalty for s in eff], jnp.float32),
+            jnp.asarray(plens, jnp.int32),
+            sub,
+            self.prev_tokens, self._temps, self._top_ks, self._top_ps,
+            self._rep_pens, self.cur_tokens, self._lengths_dev,
+            self._active_dev,
+            custom=custom,
         )
-        self._active_dev = self._active_dev.at[admit_idx].set(True)
         dt = time.time() - t0
         for req, slot, plen in zip(reqs, slots, plens):
             req.prefill_time = dt
@@ -496,23 +624,30 @@ class Engine:
                 if not self.active.any():
                     continue
                 # decode up to `horizon` steps for everyone, one host sync.
-                # Adaptive: if some active slot's token budget runs out sooner,
-                # shrink to the largest power-of-two horizon that fits — a slot
-                # finishing mid-horizon wastes every remaining step (EOS is
-                # unpredictable, the max_new budget is not). Power-of-two only,
-                # so compiles stay bounded.
-                min_rem = min(
+                # Adaptive bound: the LARGEST remaining token budget — a slot
+                # whose budget (or EOS) ends mid-horizon just has its
+                # overshoot dropped at emit time (masked compute costs the
+                # other slots nothing), but a horizon entirely past EVERY
+                # budget would be pure waste. Bounding by the MINIMUM budget
+                # instead (the old policy) collapses steps to 1-2 whenever
+                # any slot nears its end — with staggered finishes (online
+                # serving steady state) that multiplies rounds, and each
+                # round pays a device->host sync. Cache headroom stays
+                # min-bound: a slot past max_len would emit junk, not
+                # droppable overshoot. Power-of-two only, compiles bounded.
+                rems = [
                     self.slot_req[i].max_new_tokens
                     - len(self.slot_req[i].output_tokens)
                     - (1 if i in pending_first else 0)
                     for i in range(self.max_slots)
                     if self.active[i]
-                )
+                ]
+                min_rem, max_rem = min(rems), max(rems)
                 headroom = self.max_len - 1 - int(
                     max(self.lengths[i] for i in range(self.max_slots) if self.active[i])
                 )
                 steps = self.horizon
-                while steps > 1 and (steps > max(min_rem, 1) or steps > headroom):
+                while steps > 1 and (steps > max(max_rem, 1) or steps > headroom):
                     steps //= 2
                 dispatch_active = self.active.copy()
                 if self._active_dirty:  # upload only when a slot changed

@@ -62,6 +62,8 @@ class ServingFrontend:
                     "ok": True,
                     "active_slots": int(eng.active.sum()),
                     "queued": frontend.queue.qsize(),
+                    "prompt_cache_hits": eng.prompt_cache_hits,
+                    "prompt_cache_misses": eng.prompt_cache_misses,
                 })
 
             def do_POST(self):
@@ -139,11 +141,17 @@ class ServingFrontend:
                     body.get("repetition_penalty", base.repetition_penalty)
                 ),
             )
+            if sampling == base:
+                # identical to the engine defaults: stay on the uniform
+                # sampling fast path (the custom path pays a per-step
+                # [B, V] sort for top-p once ANY active slot is custom)
+                sampling = None
         return Request(
             prompt_tokens=toks,
             max_new_tokens=int(body.get("max_new_tokens", 256)),
             sampling=sampling,
             stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            cache_prompt=bool(body.get("cache_prompt", False)),
         )
 
     def _feeder(self, idle: bool) -> list:

@@ -343,3 +343,90 @@ def test_engine_cache_growth_matches_static(tiny_engine):
     assert static.cache.k.shape[3] == 256
     os_ = static.generate([prompt], max_new_tokens=24)[0]
     assert og == os_
+
+
+def _counting_prefill(eng):
+    """Wrap eng._prefill with a call counter; returns the counter list."""
+    calls = []
+    orig = eng._prefill
+
+    def wrapped(params, tokens, last_idx):
+        calls.append(tokens.shape)
+        return orig(params, tokens, last_idx)
+
+    eng._prefill = wrapped
+    return calls
+
+
+def test_engine_in_group_prompt_dedup(tiny_engine):
+    """Identical prompts in one admission group share a single prefill row
+    (majority-vote shape); greedy outputs match per-prompt generation."""
+    cfg, params = tiny_engine
+    eng = Engine(params, cfg, max_slots=4, max_len=64,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    calls = _counting_prefill(eng)
+    same = [7, 3, 11]
+    outs = eng.generate([same, same, same, [5, 2]], max_new_tokens=6)
+    assert outs[0] == outs[1] == outs[2]
+    # one prefill call for the whole group, batch rounded to pow2(2 unique)
+    assert len(calls) == 1 and calls[0][0] == 2
+
+    solo = Engine(params, cfg, max_slots=4, max_len=64,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    assert outs[0] == solo.generate([same], max_new_tokens=6)[0]
+    assert outs[3] == solo.generate([[5, 2]], max_new_tokens=6)[0]
+
+
+def test_engine_prompt_cache_hit_skips_prefill(tiny_engine):
+    """A cache_prompt request stores its prefill; a later identical prompt
+    admits with NO prefill call and identical greedy output."""
+    cfg, params = tiny_engine
+    for dtype in (jnp.float32, jnp.int8):
+        eng = Engine(params, cfg, max_slots=2, max_len=64,
+                     sampling=SamplingParams(temperature=0.0),
+                     eos_token_id=None, cache_dtype=dtype,
+                     prompt_cache_size=2)
+        calls = _counting_prefill(eng)
+        prompt = [9, 4, 4, 2]
+        r1 = Request(prompt_tokens=prompt, max_new_tokens=6, cache_prompt=True)
+        eng.run([r1])
+        assert len(calls) == 1 and eng.prompt_cache_misses == 1
+        r2 = Request(prompt_tokens=prompt, max_new_tokens=6)
+        eng.run([r2])
+        assert len(calls) == 1  # no second prefill
+        assert eng.prompt_cache_hits == 1
+        assert r2.output_tokens == r1.output_tokens
+
+
+def test_engine_prompt_cache_lru_eviction(tiny_engine):
+    cfg, params = tiny_engine
+    eng = Engine(params, cfg, max_slots=2, max_len=64,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                 prompt_cache_size=1)
+    calls = _counting_prefill(eng)
+    a, b = [3, 1], [8, 8, 2]
+    eng.run([Request(prompt_tokens=a, max_new_tokens=3, cache_prompt=True)])
+    eng.run([Request(prompt_tokens=b, max_new_tokens=3, cache_prompt=True)])
+    assert len(calls) == 2
+    eng.run([Request(prompt_tokens=a, max_new_tokens=3)])  # evicted -> prefill
+    assert len(calls) == 3 and eng.prompt_cache_hits == 0
+    eng.run([Request(prompt_tokens=b, max_new_tokens=3)])  # still cached
+    assert len(calls) == 3 and eng.prompt_cache_hits == 1
+
+
+def test_engine_prompt_cache_mixed_group(tiny_engine):
+    """One admission group mixing a cache hit and a fresh prompt: both
+    greedy outputs match uncached single-request runs."""
+    cfg, params = tiny_engine
+    eng = Engine(params, cfg, max_slots=2, max_len=64,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                 prompt_cache_size=2)
+    cached, fresh = [6, 6, 1], [2, 9]
+    eng.run([Request(prompt_tokens=cached, max_new_tokens=5, cache_prompt=True)])
+    outs = eng.generate([cached, fresh], max_new_tokens=5)
+    assert eng.prompt_cache_hits == 1
+
+    solo = Engine(params, cfg, max_slots=2, max_len=64,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    assert outs[0] == solo.generate([cached], max_new_tokens=5)[0]
+    assert outs[1] == solo.generate([fresh], max_new_tokens=5)[0]

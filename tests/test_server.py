@@ -167,3 +167,31 @@ def test_loadtest_script_against_frontend(frontend):
     sse = lt.run_load(f"{url}/generate", bodies[:3], concurrency=2, stream=True)
     assert sse["errors"] == 0 and sse["ok"] == 3
     assert sse["ttft_p50_s"] > 0
+
+
+def test_http_cache_prompt_flag():
+    """cache_prompt over the wire: second identical request is a prompt-cache
+    hit (health counters) with identical greedy text."""
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0))
+    eng = Engine(
+        params, cfg, max_slots=2, max_len=64,
+        sampling=SamplingParams(temperature=1.0), eos_token_id=None,
+        prompt_cache_size=2,
+    )
+    front = ServingFrontend(eng, CharTok(), port=0)
+    t = threading.Thread(target=front.serve_forever)
+    t.start()
+    host, port = front.address
+    url = f"http://{host}:{port}"
+    try:
+        body = {"prompt": "sys", "max_new_tokens": 4, "temperature": 0.0,
+                "cache_prompt": True}
+        a = _post(url, body)
+        b = _post(url, dict(body, cache_prompt=False))
+        assert a["text"] == b["text"]
+        h = json.load(urllib.request.urlopen(f"{url}/health", timeout=30))
+        assert h["prompt_cache_hits"] == 1 and h["prompt_cache_misses"] == 1
+    finally:
+        front.shutdown()
+        t.join(timeout=60)

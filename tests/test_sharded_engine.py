@@ -143,3 +143,34 @@ def test_sharded_engine_behind_http_server():
             front.shutdown()
             t.join(timeout=60)
     assert [results[i]["tokens"] for i in range(2)] == ref_out
+
+
+def test_sharded_engine_prompt_cache():
+    """Prompt-cache hits on a TP/DP-sharded engine: the stored prefill rows
+    re-insert into the sharded cache, outputs match the fresh path, and the
+    cache stays distributed."""
+    from bitdistiller_tpu.serve.engine import Request
+
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    packed = pack_model(params, cfg, bits=4, group_size=64, fuse=False)
+    prompt = [3, 5, 7, 2]
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_packed_model(packed, mesh, cfg)
+        eng = Engine(sharded, cfg, max_slots=4, max_len=32,
+                     sampling=SamplingParams(temperature=0.0),
+                     eos_token_id=None, cache_dtype=jnp.float32,
+                     prompt_cache_size=1)
+        eng.cache = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            eng.cache, kv_cache_specs(),
+        )
+        r1 = Request(prompt_tokens=prompt, max_new_tokens=6, cache_prompt=True)
+        eng.run([r1])
+        r2 = Request(prompt_tokens=prompt, max_new_tokens=6)
+        eng.run([r2])
+    assert eng.prompt_cache_hits == 1
+    assert r2.output_tokens == r1.output_tokens
+    assert not eng.cache.k.sharding.is_fully_replicated
