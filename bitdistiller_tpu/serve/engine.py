@@ -125,7 +125,9 @@ class Engine:
         self.prompt_cache_size = prompt_cache_size
         self._prompt_cache: "collections.OrderedDict" = collections.OrderedDict()
         self._slice_fns: dict = {}
+        self._extend_fns: dict = {}
         self.prompt_cache_hits = 0
+        self.prompt_cache_prefix_hits = 0
         self.prompt_cache_misses = 0
         self.cache_buckets = _buckets(max_len, factor=cache_bucket_factor)
         first_len = self.cache_buckets[0] if grow_cache else max_len
@@ -159,6 +161,8 @@ class Engine:
         self._rep_pens = jnp.full(max_slots, s.repetition_penalty, jnp.float32)
         self._slot_custom = np.zeros(max_slots, bool)
         self.buckets = _buckets(max_len)
+        # finer ladder for tail-only prefills (a chat turn is often short)
+        self.tail_buckets = _buckets(max_len, lo=16)
         # decode `horizon` steps per jitted call, one host sync per horizon —
         # per-step device->host syncs dominate otherwise (measured ~5x
         # engine throughput on hardware). EOS overshoot within a horizon is
@@ -316,6 +320,63 @@ class Engine:
         ek, ev, el = fn(kv.k, kv.v, last_logits, jnp.asarray(row, jnp.int32))
         return KVCache(k=ek, v=ev), el
 
+    def _extend_prefix(self, ekv: KVCache, pfx_len: int, tail: list):
+        """Tail-only prefill for a prompt whose PREFIX KV is cached (the
+        system-prompt / multi-turn-chat shape): build a 1-row temp cache
+        holding the prefix rows, run the model forward over just the tail
+        tokens against it (forward's cache mask handles S>1 at a nonzero
+        start position), and return the combined rows in prefill layout —
+        the same form as a stored exact-hit entry, so the caller reuses the
+        exact-hit insert/sample path. Compute scales with the TAIL, not the
+        full prompt. Jitted and memoized per (entry shape, tail bucket,
+        total bucket); pfx_len/last_idx ride as traced scalars."""
+        tail_len = len(tail)
+        tot = pfx_len + tail_len
+        tb = next(b for b in self.tail_buckets if b >= tail_len)
+        # the temp cache must cover pfx + the PADDED tail: the S-token cache
+        # write is a dynamic_update_slice whose start CLAMPS to T - S — a
+        # shorter buffer would silently shift the writes over the prefix
+        tc_len = next(
+            (b for b in self.buckets if b >= pfx_len + tb), self.max_len
+        )
+        key = (ekv.k.shape, tb, tc_len)
+        fn = self._extend_fns.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            def f(params, ek, ev, toks, pfx, last_idx):
+                L, _, pb, H, D = ek.shape
+                shape = (L, 1, H, tc_len, D)
+                temp = KVCache(
+                    k=jax.lax.dynamic_update_slice(
+                        jnp.zeros(shape, ek.dtype),
+                        ek.transpose(0, 1, 3, 2, 4), (0,) * 5),
+                    v=jax.lax.dynamic_update_slice(
+                        jnp.zeros(shape, ev.dtype),
+                        ev.transpose(0, 1, 3, 2, 4), (0,) * 5),
+                )
+                logits, temp = llama.forward(
+                    params, cfg, toks, cache=temp,
+                    cache_pos=jnp.full((1,), pfx, jnp.int32),
+                )
+                last = jnp.take_along_axis(
+                    logits, last_idx.reshape(1, 1, 1), axis=1
+                )[0, 0]
+                return KVCache(
+                    k=temp.k.transpose(0, 1, 3, 2, 4),
+                    v=temp.v.transpose(0, 1, 3, 2, 4),
+                ), last
+
+            fn = jax.jit(f)
+            self._extend_fns[key] = fn
+        padded = np.zeros((1, tb), np.int32)
+        padded[0, :tail_len] = tail
+        kv, last = fn(
+            self.params, ekv.k, ekv.v, jnp.asarray(padded),
+            jnp.asarray(pfx_len, jnp.int32), jnp.asarray(tail_len - 1, jnp.int32),
+        )
+        return kv, last, tot
+
     def _admit_group(self, reqs: list, slots: list):
         """Prefill several requests in ONE batched call and insert each into
         its slot (serial per-request prefills stall the whole batch).
@@ -339,6 +400,26 @@ class Engine:
                 if e is not None:
                     self._prompt_cache.move_to_end(k)  # LRU touch
                     hits[i] = e
+                    continue
+                # longest cached PROPER PREFIX: prefill only the tail
+                best = None
+                for ck in self._prompt_cache:
+                    if (len(ck) < len(k) and k[: len(ck)] == ck
+                            and (best is None or len(ck) > len(best))):
+                        best = ck
+                if best is not None:
+                    ekv, _el, pl = self._prompt_cache[best]
+                    tb = next(b for b in self.tail_buckets if b >= len(k) - pl)
+                    if pl + tb > self.max_len:
+                        continue  # padded tail would not fit: full prefill
+                    self._prompt_cache.move_to_end(best)
+                    kv2, last2, tot = self._extend_prefix(ekv, pl, list(k[pl:]))
+                    hits[i] = (kv2, last2, tot)
+                    self.prompt_cache_prefix_hits += 1
+                    if reqs[i].cache_prompt:
+                        self._prompt_cache[k] = (kv2, last2, tot)
+                        while len(self._prompt_cache) > self.prompt_cache_size:
+                            self._prompt_cache.popitem(last=False)
             self.prompt_cache_hits += len(hits)
             self.prompt_cache_misses += n - len(hits)
 

@@ -430,3 +430,38 @@ def test_engine_prompt_cache_mixed_group(tiny_engine):
                   sampling=SamplingParams(temperature=0.0), eos_token_id=None)
     assert outs[0] == solo.generate([cached], max_new_tokens=5)[0]
     assert outs[1] == solo.generate([fresh], max_new_tokens=5)[0]
+
+
+def test_engine_prompt_cache_prefix_extension(tiny_engine):
+    """A cached SYSTEM prompt: requests extending it prefill only the tail.
+    Greedy outputs must equal the uncached full-prompt run (bf16 and int8
+    slot caches); chaining cache_prompt extends the stored entry."""
+    cfg, params = tiny_engine
+    system = [7, 3, 9, 9, 2, 5]
+    for dtype in (jnp.float32, jnp.int8):
+        eng = Engine(params, cfg, max_slots=2, max_len=64,
+                     sampling=SamplingParams(temperature=0.0),
+                     eos_token_id=None, cache_dtype=dtype,
+                     prompt_cache_size=2)
+        calls = _counting_prefill(eng)
+        eng.run([Request(prompt_tokens=system, max_new_tokens=2,
+                         cache_prompt=True)])
+        assert len(calls) == 1
+
+        full = system + [4, 8, 1]
+        r = Request(prompt_tokens=full, max_new_tokens=6, cache_prompt=True)
+        eng.run([r])
+        assert len(calls) == 1  # tail-only path, no full prefill
+        assert eng.prompt_cache_prefix_hits == 1
+
+        solo = Engine(params, cfg, max_slots=2, max_len=64,
+                      sampling=SamplingParams(temperature=0.0),
+                      eos_token_id=None, cache_dtype=dtype)
+        assert r.output_tokens == solo.generate([full], max_new_tokens=6)[0]
+
+        # the extended prompt was stored: next turn extends IT (chained)
+        turn3 = full + [2, 2]
+        r3 = Request(prompt_tokens=turn3, max_new_tokens=4)
+        eng.run([r3])
+        assert len(calls) == 1 and eng.prompt_cache_prefix_hits == 2
+        assert r3.output_tokens == solo.generate([turn3], max_new_tokens=4)[0]
