@@ -465,3 +465,58 @@ def test_engine_prompt_cache_prefix_extension(tiny_engine):
         eng.run([r3])
         assert len(calls) == 1 and eng.prompt_cache_prefix_hits == 2
         assert r3.output_tokens == solo.generate([turn3], max_new_tokens=4)[0]
+
+
+def test_engine_random_soak_matches_solo(tiny_engine):
+    """Randomized scheduling soak: many requests with mixed prompt lengths,
+    budgets, stop tokens, and a feeder that trickles arrivals — every greedy
+    output must equal a solo single-request engine run. Locks the horizon /
+    admission / growth / dedup scheduling against regressions."""
+    import random
+
+    # f32 end to end: greedy equality across batch shapes is exact in f32;
+    # in bf16 batch-dependent reduction order can flip argmax TIES (same
+    # reason the sharded-engine tests run f32 — numerics noise, not a bug)
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    rng = random.Random(7)
+    reqs_spec = []
+    for i in range(17):
+        plen = rng.randint(1, 40)
+        prompt = [rng.randint(3, cfg.vocab_size - 1) for _ in range(plen)]
+        if i % 4 == 0 and reqs_spec:  # exact duplicates (dedup path)
+            prompt = reqs_spec[-1][0]
+        reqs_spec.append((prompt, rng.randint(1, 30),
+                          (rng.randint(3, 9),) if i % 3 == 0 else ()))
+
+    eng = Engine(params, cfg, max_slots=3, max_len=128,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                 cache_dtype=jnp.float32, prompt_cache_size=2)
+    reqs = [Request(prompt_tokens=p, max_new_tokens=m, stop_token_ids=s,
+                    cache_prompt=(i % 5 == 0))
+            for i, (p, m, s) in enumerate(reqs_spec)]
+    # trickle arrivals through the feeder: 3 up front, 2 per round
+    pending = reqs[3:]
+
+    def feeder(idle):
+        out = []
+        for _ in range(2):
+            if pending:
+                out.append(pending.pop(0))
+        return out
+
+    done = eng.run(reqs[:3], feeder=feeder, stop=lambda: not pending)
+    assert len(done) == len(reqs)
+
+    solo = Engine(params, cfg, max_slots=1, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    for prompt, max_new, stops in reqs_spec:
+        want = Request(prompt_tokens=prompt, max_new_tokens=max_new,
+                       stop_token_ids=stops)
+        solo.run([want])
+        got = next(r for r in done
+                   if (r.prompt_tokens, r.max_new_tokens, r.stop_token_ids)
+                   == (prompt, max_new, stops))
+        assert got.output_tokens == want.output_tokens, (prompt, max_new)
+        assert got.finish_reason == want.finish_reason
