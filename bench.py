@@ -154,6 +154,10 @@ def main():
                     choices=["full", "save_quantized"],
                     help="train mode: gradient-checkpoint policy")
     ap.add_argument("--skip-short-row", action="store_true")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="serve mode: all prompts share an N-token system "
+                    "prefix, cached once via the prompt cache; requests "
+                    "prefill only their 32-token tails")
     args = ap.parse_args()
 
     if args.mode == "train":
@@ -354,6 +358,7 @@ def main():
             sampling=SamplingParams(temperature=0.7), eos_token_id=None,
             decode_horizon=args.horizon,
             cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+            prompt_cache_size=4 if args.shared_prefix else 0,
         )
         front = ServingFrontend(eng, IdTok(), port=0)
         t = threading.Thread(target=front.serve_forever)
@@ -361,14 +366,41 @@ def main():
         host, port = front.address
         url = f"http://{host}:{port}/generate"
 
+        prefix = list(map(int, rng.integers(0, cfg.vocab_size,
+                                            (args.shared_prefix,))))
+
         def bodies(n, max_new):
-            return [{
-                "prompt_tokens": list(map(int, rng.integers(0, cfg.vocab_size, (128,)))),
-                "max_new_tokens": max_new, "temperature": 0.7,
-            } for _ in range(n)]
+            out = []
+            for _ in range(n):
+                if args.shared_prefix:
+                    # system-prompt workload: shared prefix + unique tail;
+                    # the prefix itself is cached once (see below) and every
+                    # request here prefills only its 32-token tail
+                    toks = prefix + list(map(int, rng.integers(
+                        0, cfg.vocab_size, (32,))))
+                    out.append({"prompt_tokens": toks,
+                                "max_new_tokens": max_new,
+                                "temperature": 0.7})
+                else:
+                    out.append({"prompt_tokens": list(map(int, rng.integers(
+                        0, cfg.vocab_size, (128,)))),
+                                "max_new_tokens": max_new,
+                                "temperature": 0.7})
+            return out
 
         print("warming serving executables...", file=sys.stderr)
         lt.run_load(url, bodies(args.batch * 2, 130), concurrency=args.batch)
+        uncached = None
+        if args.shared_prefix:
+            # SAME workload measured twice: before the prefix is cached
+            # (full 544-token prefills) and after (32-token tail prefills)
+            print("measuring uncached prefix...", file=sys.stderr)
+            uncached = lt.run_load(
+                url, bodies(args.batch * 4, 128), concurrency=args.batch
+            )
+            lt.run_load(url, [{"prompt_tokens": prefix, "max_new_tokens": 1,
+                               "temperature": 0.7, "cache_prompt": True}], 1)
+            lt.run_load(url, bodies(2, 130), concurrency=2)  # warm extend path
         print("measuring...", file=sys.stderr)
         summary = lt.run_load(
             url, bodies(args.batch * 4, 128), concurrency=args.batch
@@ -376,7 +408,7 @@ def main():
         sse = lt.run_load(url, bodies(4, 32), concurrency=2, stream=True)
         front.shutdown()
         t.join(timeout=120)
-        print(json.dumps({
+        out = {
             "metric": f"int{args.bits}-g128 packed 7B ONLINE serving (HTTP), "
                       f"{args.batch} slots, 1 chip",
             "value": summary["throughput_tok_s"],
@@ -387,7 +419,14 @@ def main():
             "ttft_p50_s": sse.get("ttft_p50_s"),
             "requests": summary["requests"],
             "errors": summary["errors"] + sse["errors"],
-        }))
+        }
+        if uncached is not None:
+            out["metric"] += f", shared {args.shared_prefix}-tok prefix"
+            out["uncached_tok_s"] = uncached["throughput_tok_s"]
+            out["uncached_prefill_p50_s"] = uncached.get("prefill_p50_s")
+            out["cached_prefill_p50_s"] = summary.get("prefill_p50_s")
+            out["prefix_hits"] = eng.prompt_cache_prefix_hits
+        print(json.dumps(out))
         return
 
     # decode mode — headline at the 2048-token serving context
