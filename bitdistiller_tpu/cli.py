@@ -146,6 +146,7 @@ def cmd_serve(args):
         cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         decode_horizon=args.decode_horizon,
         prompt_cache_size=args.prompt_cache_size,
+        spec_decode=args.spec_decode,
     )
     front = ServingFrontend(eng, tok, host=args.host, port=args.port)
     import signal
@@ -401,6 +402,10 @@ def build_parser():
     sv.add_argument("--top_p", type=float, default=0.95)
     sv.add_argument("--decode_horizon", type=int, default=16)
     sv.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
+    sv.add_argument("--spec_decode", action="store_true",
+                    help="n-gram speculative decoding: draft from each "
+                    "slot's own history, verify k+1 tokens per forward "
+                    "(exact sampling; wins on repetitive text)")
     sv.add_argument("--prompt_cache_size", type=int, default=0,
                     help="LRU entries of prompt-prefill KV kept on device; "
                     "requests with cache_prompt=true skip prefill on repeat "

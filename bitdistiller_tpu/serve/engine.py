@@ -92,6 +92,9 @@ class Engine:
         grow_cache: bool = True,
         cache_bucket_factor: int = 2,
         prompt_cache_size: int = 0,
+        spec_decode: bool = False,
+        spec_k: int = 4,
+        spec_history: int = 512,
     ):
         from ..ops.quant_matmul import maybe_repack_a8
 
@@ -134,6 +137,23 @@ class Engine:
         self.cache = KVCache.init(cfg, max_slots, first_len, cache_dtype)
         self._grow_fns: dict = {}
         self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
+        # speculative decoding via n-gram lookup (no draft model): each
+        # verify round drafts spec_k tokens by matching the slot's current
+        # 2-gram against its own history (prompt tail + generated tokens,
+        # kept right-aligned on device) and verifies them in ONE forward of
+        # S=spec_k+1 — decode is weight/KV-traffic-bound, so k+1 tokens
+        # stream the weights once. Accepted-prefix semantics keep sampling
+        # exact: position i+1's logits are valid iff the SAMPLED token at i
+        # equals the draft fed at i+1. Rejected-position cache writes land
+        # beyond the slot position and are overwritten before ever being
+        # attended (same argument as prefix-extension junk rows).
+        self.spec_decode = spec_decode
+        self.spec_k = spec_k
+        if pipeline_rounds and spec_decode:
+            raise ValueError("pipeline_rounds and spec_decode are exclusive")
+        self.history = jnp.full((max_slots, spec_history), -2, jnp.int32)
+        self.spec_rounds = 0  # (round, active-slot) verify cells fetched
+        self.spec_tokens = 0  # tokens those cells produced (<= k+1 each)
         self.key = jax.random.key(seed)
 
         # host-side slot state. cur_tokens/lengths/active keep DEVICE mirrors:
@@ -189,7 +209,11 @@ class Engine:
         # donate the per-slot state vectors: updated in place, no copies
         self._admit_commit = jax.jit(
             self._admit_commit_impl, static_argnames=("custom",),
-            donate_argnums=tuple(range(8, 16)),
+            donate_argnums=tuple(range(8, 16)) + (16,),
+        )
+        self._spec = jax.jit(
+            self._spec_decode_impl, static_argnames=("steps",),
+            donate_argnums=(1, 5, 6),
         )
 
     # -- jitted pieces ------------------------------------------------------
@@ -239,9 +263,12 @@ class Engine:
     def _admit_commit_impl(self, last_logits, slot_idx, temps_n, topks_n,
                            topps_n, reppens_n, plens, sub, prev_tokens,
                            temps, top_ks, top_ps, rep_pens, cur_tokens,
-                           lengths_dev, active_dev, custom=False):
+                           lengths_dev, active_dev, history, hist_rows,
+                           custom=False):
         """All per-slot device state of one admission in one executable.
-        last_logits: [n, V] prompt logits in request order; slot_idx: [n]."""
+        last_logits: [n, V] prompt logits in request order; slot_idx: [n];
+        hist_rows: [n, HW] right-aligned prompt tails for the spec-decode
+        history windows."""
         prev_tokens = prev_tokens.at[slot_idx].set(-1)
         temps = temps.at[slot_idx].set(temps_n)
         top_ks = top_ks.at[slot_idx].set(topks_n)
@@ -261,8 +288,12 @@ class Engine:
         cur_tokens = cur_tokens.at[slot_idx].set(firsts)
         lengths_dev = lengths_dev.at[slot_idx].set(plens)
         active_dev = active_dev.at[slot_idx].set(True)
+        # spec-decode history = prompt tail ++ first token (right-aligned)
+        history = history.at[slot_idx].set(
+            jnp.concatenate([hist_rows[:, 1:], firsts[:, None]], axis=1)
+        )
         return (firsts, prev_tokens, temps, top_ks, top_ps, rep_pens,
-                cur_tokens, lengths_dev, active_dev)
+                cur_tokens, lengths_dev, active_dev, history)
 
     def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key,
                      samp, steps=1, custom=False):
@@ -293,6 +324,75 @@ class Engine:
         # the advanced key comes back as an output: the host never needs a
         # per-round jax.random.split dispatch
         return toks, cache, prev_tokens, key  # toks: [steps, B]
+
+    @staticmethod
+    def _var_append(buf: jnp.ndarray, toks: jnp.ndarray, n: jnp.ndarray):
+        """Append the first n[b] of toks[b] to the right-aligned window
+        buf[b] (per-row variable shift via a gathered view)."""
+        b, w = buf.shape
+        ext = jnp.concatenate([buf, toks], axis=1)  # [B, W + K]
+        idx = n[:, None] + jnp.arange(w)[None, :]
+        return jnp.take_along_axis(ext, idx, axis=1)
+
+    def _spec_decode_impl(self, params, cache, tokens, pos, active,
+                          prev_tokens, history, key, steps=1):
+        """`steps` verify rounds: draft spec_k tokens from the slot's own
+        history (2-gram lookup), verify in one S=spec_k+1 forward, accept
+        the longest sampled==draft prefix plus the bonus token. Returns
+        [steps, B, k+1] tokens with per-round valid counts [steps, B]."""
+        max_pos = self.max_len - 1
+        k = self.spec_k
+        hw = history.shape[1]
+
+        def draft_from(hist):
+            # last j with (hist[j-1], hist[j]) == (hist[-2], hist[-1]),
+            # excluding the trailing occurrence itself
+            g0, g1 = hist[:, -2:-1], hist[:, -1:]
+            j = jnp.arange(1, hw - 1)[None, :]
+            match = (hist[:, :-2] == g0) & (hist[:, 1:-1] == g1)
+            jstar = jnp.max(jnp.where(match, j, -1), axis=1)  # [B]
+            idx = jnp.clip(jstar[:, None] + 1 + jnp.arange(1, k + 1)[None, :],
+                           0, hw - 1)
+            d = jnp.take_along_axis(hist, idx, axis=1)  # [B, k]
+            # no match (or negative history filler): draft -1, never accepted
+            return jnp.where((jstar >= 0)[:, None] & (d >= 0), d, -1)
+
+        def one(carry, _):
+            cur, cache, pos, prev, hist, key = carry
+            key, sub = jax.random.split(key)
+            draft = draft_from(hist)
+            tokens_in = jnp.concatenate([cur[:, None], draft], axis=1)
+            # the forward reads cache < pos and the fresh S tokens causally;
+            # draft==-1 rows still run (clamped to 0) but never get accepted
+            logits, cache = llama.forward(
+                params, self.cfg, jnp.maximum(tokens_in, 0),
+                cache=cache, cache_pos=pos,
+            )
+            b, s, v = logits.shape
+            prev_t = jnp.repeat(prev, s, axis=0)  # rep window approximation:
+            # all k+1 positions share the round-start window (exact at
+            # repetition_penalty == 1.0, greedy unaffected)
+            sampled = sample_tokens(
+                sub, logits.reshape(b * s, v), self.sampling, prev_t
+            ).reshape(b, s)
+            good = (sampled[:, :k] == draft).astype(jnp.int32)
+            acc = jnp.cumprod(good, axis=1).sum(axis=1)  # [B] in [0, k]
+            n_new = jnp.where(active, acc + 1, 0)
+            cur = jnp.where(
+                active, jnp.take_along_axis(sampled, acc[:, None], 1)[:, 0], 0
+            )
+            pos = jnp.minimum(pos + n_new, max_pos)
+            prev = self._var_append(prev, sampled, n_new)
+            hist = self._var_append(hist, sampled, n_new)
+            return (cur, cache, pos, prev, hist, key), (sampled, n_new)
+
+        (tokens, cache, pos, prev_tokens, history, key), (toks, counts) = (
+            jax.lax.scan(
+                one, (tokens, cache, pos, prev_tokens, history, key),
+                None, length=steps,
+            )
+        )
+        return toks, counts, tokens, cache, pos, prev_tokens, history, key
 
     # -- host scheduling ----------------------------------------------------
 
@@ -510,9 +610,14 @@ class Engine:
         eff = [r.sampling or self.sampling for r in reqs]
         self.key, sub = jax.random.split(self.key)
         custom = any(r.sampling is not None for r in reqs)
+        hw = self.history.shape[1]
+        hist_rows = np.full((n, hw), -2, np.int32)
+        for i, (r, pl) in enumerate(zip(reqs, plens)):
+            tail = r.prompt_tokens[-min(pl, hw):]
+            hist_rows[i, -len(tail):] = tail
         (firsts, self.prev_tokens, self._temps, self._top_ks, self._top_ps,
          self._rep_pens, self.cur_tokens, self._lengths_dev,
-         self._active_dev) = self._admit_commit(
+         self._active_dev, self.history) = self._admit_commit(
             last_logits,
             jnp.asarray(np.asarray(slots, np.int32)),
             jnp.asarray([s.temperature for s in eff], jnp.float32),
@@ -523,7 +628,8 @@ class Engine:
             sub,
             self.prev_tokens, self._temps, self._top_ks, self._top_ps,
             self._rep_pens, self.cur_tokens, self._lengths_dev,
-            self._active_dev,
+            self._active_dev, self.history,
+            jnp.asarray(hist_rows),
             custom=custom,
         )
         dt = time.time() - t0
@@ -589,9 +695,30 @@ class Engine:
             self._grow_fns[key] = fn
         self.cache = fn(self.cache)
 
+    def _spec_active(self) -> bool:
+        # custom per-slot sampling falls back to the plain scan (the spec
+        # verify samples all positions with the UNIFORM engine params)
+        return self.spec_decode and not bool(self._slot_custom.any())
+
     def _dispatch_decode(self, steps: int):
-        """Dispatch one decode horizon; returns the device token block
-        [steps, B]. No sync: cur_tokens/lengths advance on device."""
+        """Dispatch one decode horizon; returns (tokens, counts): plain
+        scan -> ([steps, B], None); spec-decode -> ([steps, B, k+1] with
+        per-round valid counts [steps, B]). No sync: cur_tokens/lengths
+        advance on device."""
+        if self._spec_active():
+            tps = self.spec_k + 1
+            if self.active.any():
+                self._ensure_cache(
+                    int(self._len_ub[self.active].max()) + steps * tps
+                )
+            (toks, counts, self.cur_tokens, self.cache, self._lengths_dev,
+             self.prev_tokens, self.history, self.key) = self._spec(
+                self.params, self.cache, self.cur_tokens, self._lengths_dev,
+                self._active_dev, self.prev_tokens, self.history, self.key,
+                steps=steps,
+            )
+            self._len_ub += steps * tps * self.active
+            return toks, counts
         if self.active.any():
             self._ensure_cache(int(self._len_ub[self.active].max()) + steps)
         toks, self.cache, self.prev_tokens, self.key = self._decode(
@@ -614,7 +741,7 @@ class Engine:
         # are already counted by the next dispatch's growth check
         self._lengths_dev = self._lengths_dev + steps * self._active_dev
         self._len_ub += steps * self.active
-        return toks
+        return toks, None
 
     def run(
         self,
@@ -728,14 +855,20 @@ class Engine:
                     max(self.lengths[i] for i in range(self.max_slots) if self.active[i])
                 )
                 steps = self.horizon
-                while steps > 1 and (steps > max(max_rem, 1) or steps > headroom):
+                # spec-decode writes up to k+1 cache rows per round: the
+                # headroom bound scales; the budget bound stays per-round
+                # (every round yields >= 1 token)
+                tpr = (self.spec_k + 1) if self._spec_active() else 1
+                while steps > 1 and (
+                    steps > max(max_rem, 1) or steps * tpr > headroom
+                ):
                     steps //= 2
                 dispatch_active = self.active.copy()
                 if self._active_dirty:  # upload only when a slot changed
                     self._active_dev = jnp.asarray(dispatch_active)
                     self._active_dirty = False
                 t0 = time.time()
-                toks = self._dispatch_decode(steps)
+                toks = self._dispatch_decode(steps)  # (tokens, counts)
                 chain_rem = min(min_rem, headroom) // steps - 1
                 inflight = (toks, steps, dispatch_active, firsts_dev,
                             admit_reqs, admit_slots, t0, chain_rem)
@@ -761,10 +894,15 @@ class Engine:
             # fetched together (separate np.asarray calls = two relay
             # round-trips; device_get batches the transfer)
             if firsts_dev is not None:
-                firsts_np, toks_np = jax.device_get((firsts_dev, toks))
+                firsts_np, (toks_np, counts_np) = jax.device_get(
+                    (firsts_dev, toks)
+                )
             else:
-                toks_np = jax.device_get(toks)  # [steps, B]
+                toks_np, counts_np = jax.device_get(toks)
             dt = time.time() - t0
+            if counts_np is not None:
+                self.spec_rounds += int((counts_np > 0).sum())
+                self.spec_tokens += int(counts_np.sum())
             if admit_reqs:
                 for t_val, slot in zip(firsts_np, admit_slots):
                     self._emit(slot, int(t_val))
@@ -781,15 +919,28 @@ class Engine:
                     # this slot are overshoot — drop them (cache junk is
                     # masked on slot reuse by the per-slot start position)
                     continue
-                self.lengths[i] += steps
                 emitted = 0
-                for h in range(steps):
-                    emitted += 1
-                    self._emit(i, int(toks_np[h, i]))
-                    if req.finished:
-                        break
+                if counts_np is None:  # plain scan: one token per round
+                    self.lengths[i] += steps
+                    n_round = steps
+                    for h in range(steps):
+                        emitted += 1
+                        self._emit(i, int(toks_np[h, i]))
+                        if req.finished:
+                            break
+                else:  # spec decode: counts_np[h, i] tokens per round
+                    self.lengths[i] += int(counts_np[:, i].sum())
+                    n_round = max(int(counts_np[:, i].sum()), 1)
+                    for h in range(steps):
+                        for j in range(int(counts_np[h, i])):
+                            emitted += 1
+                            self._emit(i, int(toks_np[h, i, j]))
+                            if req.finished:
+                                break
+                        if req.finished:
+                            break
                 req.decode_tokens += emitted
-                req.decode_time += dt * emitted / steps
+                req.decode_time += dt * emitted / n_round
                 if req.finished:
                     done.append(req)
                     pending -= 1

@@ -520,3 +520,94 @@ def test_engine_random_soak_matches_solo(tiny_engine):
                    == (prompt, max_new, stops))
         assert got.output_tokens == want.output_tokens, (prompt, max_new)
         assert got.finish_reason == want.finish_reason
+
+
+def _f32_pair():
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    return cfg, init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+
+def test_spec_decode_greedy_matches_plain():
+    """n-gram speculative decoding is a pure speedup: greedy outputs equal
+    the plain scan on repetitive AND random prompts; acceptance beats one
+    token/round on the repetitive ones."""
+    cfg, params = _f32_pair()
+    prompts = [
+        [5, 6, 7, 5, 6, 7, 5, 6],       # periodic: high draft acceptance
+        [9, 2, 9, 2, 9, 2, 9],
+        [3, 11, 4],                     # no structure: acceptance ~0
+        list(range(3, 40)),
+    ]
+    base = Engine(params, cfg, max_slots=4, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    want = base.generate(prompts, max_new_tokens=20)
+    for dtype in (jnp.float32, jnp.int8):
+        spec = Engine(params, cfg, max_slots=4, max_len=128,
+                      sampling=SamplingParams(temperature=0.0),
+                      eos_token_id=None, cache_dtype=dtype,
+                      spec_decode=True, spec_k=4)
+        got = spec.generate(prompts, max_new_tokens=20)
+        if dtype == jnp.float32:
+            assert got == want
+            assert spec.spec_tokens > spec.spec_rounds  # drafts accepted
+        else:  # int8 KV quantization legitimately perturbs logits;
+            # parity vs the SAME-dtype plain engine instead
+            plain8 = Engine(params, cfg, max_slots=4, max_len=128,
+                            sampling=SamplingParams(temperature=0.0),
+                            eos_token_id=None, cache_dtype=dtype)
+            assert got == plain8.generate(prompts, max_new_tokens=20)
+
+
+def test_spec_decode_stops_and_budget():
+    """EOS / stop tokens inside an accepted draft burst truncate exactly;
+    max_new budgets are never exceeded."""
+    cfg, params = _f32_pair()
+    base = Engine(params, cfg, max_slots=2, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6]
+    ref = base.generate([prompt], max_new_tokens=24)[0]
+    stop = ref[10]  # force a stop mid-stream
+    spec = Engine(params, cfg, max_slots=2, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32, spec_decode=True, spec_k=4)
+    r = Request(prompt_tokens=prompt, max_new_tokens=24, stop_token_ids=(stop,))
+    spec.run([r])
+    cut = ref.index(stop) + 1
+    assert r.output_tokens == ref[:cut]
+    assert r.finish_reason == "stop"
+    r2 = Request(prompt_tokens=prompt, max_new_tokens=7)
+    spec.run([r2])
+    assert r2.output_tokens == ref[:7]
+    assert r2.finish_reason == "length"
+
+
+def test_spec_decode_mid_run_admission():
+    """Spec decode under continuous batching: slots join mid-flight and
+    per-slot positions diverge by variable acceptance."""
+    cfg, params = _f32_pair()
+    prompts = [[5, 6, 7, 5, 6, 7], [9, 2, 9, 2, 9], [4, 4, 4, 4], [8, 1, 8, 1]]
+    base = Engine(params, cfg, max_slots=2, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    want = base.generate(prompts, max_new_tokens=12)
+    spec = Engine(params, cfg, max_slots=2, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32, spec_decode=True, spec_k=3)
+    got = spec.generate(prompts, max_new_tokens=12)  # 4 reqs over 2 slots
+    assert got == want
+
+
+def test_spec_decode_sampled_runs():
+    """Stochastic sampling through the verify path: budgets respected and
+    outputs are valid token ids (exactness vs plain is key-schedule-
+    dependent, not asserted)."""
+    cfg, params = _f32_pair()
+    spec = Engine(params, cfg, max_slots=2, max_len=128,
+                  sampling=SamplingParams(temperature=0.8, top_p=0.9),
+                  eos_token_id=None, cache_dtype=jnp.float32,
+                  spec_decode=True, spec_k=4, seed=3)
+    outs = spec.generate([[5, 6, 7, 5, 6, 7], [3, 9]], max_new_tokens=10)
+    assert all(len(o) == 10 for o in outs)
+    assert all(0 <= t < cfg.vocab_size for o in outs for t in o)

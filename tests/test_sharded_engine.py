@@ -174,3 +174,30 @@ def test_sharded_engine_prompt_cache():
     assert eng.prompt_cache_hits == 1
     assert r2.output_tokens == r1.output_tokens
     assert not eng.cache.k.sharding.is_fully_replicated
+
+
+def test_sharded_engine_spec_decode():
+    """n-gram speculative decoding on a TP/DP-sharded engine: greedy output
+    equals the plain sharded engine; the cache stays distributed."""
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    packed = pack_model(params, cfg, bits=4, group_size=64, fuse=False)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9]]
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_packed_model(packed, mesh, cfg)
+        outs = {}
+        for spec in (False, True):
+            eng = Engine(sharded, cfg, max_slots=4, max_len=64,
+                         sampling=SamplingParams(temperature=0.0),
+                         eos_token_id=None, cache_dtype=jnp.float32,
+                         spec_decode=spec, spec_k=3)
+            eng.cache = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                eng.cache, kv_cache_specs(),
+            )
+            outs[spec] = eng.generate(prompts, max_new_tokens=10)
+            if spec:
+                assert not eng.cache.k.sharding.is_fully_replicated
+    assert outs[True] == outs[False]
