@@ -147,6 +147,7 @@ def cmd_serve(args):
         decode_horizon=args.decode_horizon,
         prompt_cache_size=args.prompt_cache_size,
         spec_decode=args.spec_decode,
+        spec_ngram=args.spec_ngram,
     )
     front = ServingFrontend(eng, tok, host=args.host, port=args.port)
     import signal
@@ -406,6 +407,9 @@ def build_parser():
                     help="n-gram speculative decoding: draft from each "
                     "slot's own history, verify k+1 tokens per forward "
                     "(exact sampling; wins on repetitive text)")
+    sv.add_argument("--spec_ngram", type=int, default=2,
+                    help="context gram length for draft lookup (3 matched "
+                    "slightly better on real code text)")
     sv.add_argument("--prompt_cache_size", type=int, default=0,
                     help="LRU entries of prompt-prefill KV kept on device; "
                     "requests with cache_prompt=true skip prefill on repeat "

@@ -94,6 +94,7 @@ class Engine:
         prompt_cache_size: int = 0,
         spec_decode: bool = False,
         spec_k: int = 4,
+        spec_ngram: int = 2,
         spec_history: int = 512,
     ):
         from ..ops.quant_matmul import maybe_repack_a8
@@ -149,6 +150,7 @@ class Engine:
         # attended (same argument as prefix-extension junk rows).
         self.spec_decode = spec_decode
         self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
         if pipeline_rounds and spec_decode:
             raise ValueError("pipeline_rounds and spec_decode are exclusive")
         self.history = jnp.full((max_slots, spec_history), -2, jnp.int32)
@@ -326,6 +328,28 @@ class Engine:
         return toks, cache, prev_tokens, key  # toks: [steps, B]
 
     @staticmethod
+    def ngram_draft(hist: jnp.ndarray, k: int, ngram: int) -> jnp.ndarray:
+        """Draft k tokens per row: find the LAST earlier occurrence of the
+        trailing `ngram`-gram in the right-aligned history window and return
+        the tokens that followed it (-1 rows where no match / filler
+        context — a -1 draft can never equal a sampled token)."""
+        b, hw = hist.shape
+        ctx = hist[:, hw - ngram:]  # [B, ngram]
+        m = jnp.ones((b, hw - ngram), bool)  # gram start o in [0, hw-ngram)
+        for i in range(ngram):
+            m = m & (hist[:, i : i + hw - ngram] == ctx[:, i : i + 1])
+        ostar = jnp.max(
+            jnp.where(m, jnp.arange(hw - ngram)[None, :], -1), axis=1
+        )  # [B]
+        have_ctx = jnp.min(ctx, axis=1) >= 0
+        idx = jnp.clip(
+            ostar[:, None] + ngram + jnp.arange(k)[None, :], 0, hw - 1
+        )
+        d = jnp.take_along_axis(hist, idx, axis=1)  # [B, k]
+        ok = (ostar >= 0) & have_ctx
+        return jnp.where(ok[:, None] & (d >= 0), d, -1)
+
+    @staticmethod
     def _var_append(buf: jnp.ndarray, toks: jnp.ndarray, n: jnp.ndarray):
         """Append the first n[b] of toks[b] to the right-aligned window
         buf[b] (per-row variable shift via a gathered view)."""
@@ -342,25 +366,11 @@ class Engine:
         [steps, B, k+1] tokens with per-round valid counts [steps, B]."""
         max_pos = self.max_len - 1
         k = self.spec_k
-        hw = history.shape[1]
-
-        def draft_from(hist):
-            # last j with (hist[j-1], hist[j]) == (hist[-2], hist[-1]),
-            # excluding the trailing occurrence itself
-            g0, g1 = hist[:, -2:-1], hist[:, -1:]
-            j = jnp.arange(1, hw - 1)[None, :]
-            match = (hist[:, :-2] == g0) & (hist[:, 1:-1] == g1)
-            jstar = jnp.max(jnp.where(match, j, -1), axis=1)  # [B]
-            idx = jnp.clip(jstar[:, None] + 1 + jnp.arange(1, k + 1)[None, :],
-                           0, hw - 1)
-            d = jnp.take_along_axis(hist, idx, axis=1)  # [B, k]
-            # no match (or negative history filler): draft -1, never accepted
-            return jnp.where((jstar >= 0)[:, None] & (d >= 0), d, -1)
 
         def one(carry, _):
             cur, cache, pos, prev, hist, key = carry
             key, sub = jax.random.split(key)
-            draft = draft_from(hist)
+            draft = self.ngram_draft(hist, k, self.spec_ngram)
             tokens_in = jnp.concatenate([cur[:, None], draft], axis=1)
             # the forward reads cache < pos and the fresh S tokens causally;
             # draft==-1 rows still run (clamped to 0) but never get accepted

@@ -176,6 +176,40 @@ def kd_qat(cfg, student_init, teacher, gen_pairs, quant_type, gsize, steps, bs, 
     return master_params(state)
 
 
+def spec_bench(teacher, cfg, eval_blocks, log):
+    """Greedy generation on held-out REAL-text prompts: plain engine vs
+    n-gram speculative decoding (acceptance on natural text, not the
+    periodic synthetic workload bench.py uses)."""
+    import time as _t
+
+    prompts = [list(map(int, b[:64])) for b in eval_blocks[:16]]
+    res = {}
+    for mode in ("plain", "ng2", "ng3"):
+        kw = {} if mode == "plain" else dict(
+            spec_decode=True, spec_k=4, spec_ngram=int(mode[-1]))
+        eng = Engine(teacher, cfg, max_slots=16, max_len=SEQ,
+                     sampling=SamplingParams(temperature=0.0),
+                     eos_token_id=None, decode_horizon=16, **kw)
+        eng.generate(prompts[:2], max_new_tokens=24)  # warm
+        t0 = _t.time()
+        outs = eng.generate(prompts, max_new_tokens=256)
+        dt = _t.time() - t0
+        toks = sum(len(o) for o in outs)
+        acc = eng.spec_tokens / max(eng.spec_rounds, 1)
+        res[mode] = {"tok_s": toks / dt, "outs": outs, "accept": acc}
+        log(f"  {mode}: {toks/dt:.0f} tok/s"
+            + (f", {acc:.2f}/5 tokens per verify round" if kw else ""))
+    # bf16 forward at S=k+1 vs S=1 can flip greedy argmax TIES (batch-shape
+    # numerics, same noise class as the sharded tests note) — report the
+    # agreement instead of asserting exactness (the f32 CPU tests assert it)
+    for mode in ("ng2", "ng3"):
+        same = sum(a == b for a, b in zip(res[mode]["outs"],
+                                          res["plain"]["outs"]))
+        log(f"  {mode} greedy agreement: {same}/{len(prompts)} sequences "
+            "(divergences are bf16 argmax ties)")
+    return res
+
+
 def main():
     global SEQ
     ap = argparse.ArgumentParser()
@@ -189,6 +223,12 @@ def main():
     ap.add_argument("--gen-samples", type=int, default=256)
     ap.add_argument("--group-size", type=int, default=None)
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--spec-bench", action="store_true",
+                    help="also measure n-gram speculative decoding on "
+                    "held-out prompts (real-text acceptance)")
+    ap.add_argument("--spec-only", action="store_true",
+                    help="train the teacher, run the spec bench, skip the "
+                    "quantization pipeline")
     args = ap.parse_args()
     log = lambda s: print(s, file=sys.stderr, flush=True)
 
@@ -232,6 +272,12 @@ def main():
 
     teacher_ppl = ppl(teacher)
     log(f"teacher ppl {teacher_ppl:.4f} ({n_params/1e6:.1f}M params)")
+
+    if args.spec_bench or args.spec_only:
+        log("spec-decode bench on held-out prompts...")
+        spec_bench(teacher, cfg, eval_blocks, log)
+        if args.spec_only:
+            return
 
     prompts = train_blocks[np.random.default_rng(3).integers(0, len(train_blocks),
                                                              args.gen_samples)][:, :32]

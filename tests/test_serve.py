@@ -611,3 +611,25 @@ def test_spec_decode_sampled_runs():
     outs = spec.generate([[5, 6, 7, 5, 6, 7], [3, 9]], max_new_tokens=10)
     assert all(len(o) == 10 for o in outs)
     assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
+
+
+def test_ngram_draft_exact_followers():
+    """The draft must be the tokens IMMEDIATELY following the last earlier
+    occurrence of the trailing gram (an off-by-one here silently degrades
+    acceptance without breaking correctness — caught only by this check)."""
+    f = jnp.full
+    hist = jnp.asarray([
+        [-2, -2, 5, 6, 7, 9, 5, 6],   # [5,6] seen at o=2, followed by 7,9,5
+        [-2, 3, 3, 3, 3, 3, 3, 3],    # [3,3] repeats: last earlier at o=5
+        [-2, -2, -2, -2, -2, -2, 1, 2],  # gram never seen before: no draft
+        [-2, -2, -2, -2, -2, -2, -2, -1],  # filler context: no draft
+    ], jnp.int32)
+    d = np.asarray(Engine.ngram_draft(hist, k=3, ngram=2))
+    np.testing.assert_array_equal(d[0], [7, 9, 5])
+    np.testing.assert_array_equal(d[1], [3, 3, 3])  # clipped tail repeats
+    np.testing.assert_array_equal(d[2], [-1, -1, -1])
+    np.testing.assert_array_equal(d[3], [-1, -1, -1])
+    # 3-gram: trailing [9,5,6] seen nowhere earlier -> no draft for row 0
+    d3 = np.asarray(Engine.ngram_draft(hist, k=2, ngram=3))
+    np.testing.assert_array_equal(d3[0], [-1, -1])
+    np.testing.assert_array_equal(d3[1], [3, 3])
