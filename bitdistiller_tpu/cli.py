@@ -180,6 +180,7 @@ def cmd_chat(args):
         ),
         eos_token_id=tok.eos_token_id,
         cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+        spec_decode=getattr(args, "spec_decode", False),
     )
     print("chat ready (ctrl-d to exit)")
     while True:
@@ -225,6 +226,8 @@ def _engine_for_eval(args):
         sampling=SamplingParams(temperature=args.temperature),
         eos_token_id=tok.eos_token_id,
         decode_horizon=16,
+        # math/code generations are repetitive: n-gram drafting pays there
+        spec_decode=getattr(args, "spec_decode", False),
     )
     return eng, tok
 
@@ -427,6 +430,8 @@ def build_parser():
     ch.add_argument("--top_p", type=float, default=0.95)
     ch.add_argument("--top_k", type=int, default=0)
     ch.add_argument("--repetition_penalty", type=float, default=1.0)
+    ch.add_argument("--spec_decode", action="store_true",
+                    help="n-gram speculative decoding (exact sampling)")
     ch.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16",
                     help="int8 = quantized KV cache (halves decode KV traffic)")
     ch.set_defaults(fn=cmd_chat)
@@ -470,6 +475,9 @@ def build_parser():
     gs.add_argument("--max_new_tokens", type=int, default=512)
     gs.add_argument("--max_batch", type=int, default=8)
     gs.add_argument("--limit", type=int, default=None)
+    gs.add_argument("--spec_decode", action="store_true",
+                    help="n-gram speculative decoding (math/code "
+                    "generations are repetitive; exact sampling)")
     gs.set_defaults(fn=cmd_gsm8k)
 
     he = sub.add_parser("humaneval", help="HumanEval generative eval")
@@ -480,6 +488,9 @@ def build_parser():
     he.add_argument("--max_new_tokens", type=int, default=512)
     he.add_argument("--max_batch", type=int, default=8)
     he.add_argument("--limit", type=int, default=None)
+    he.add_argument("--spec_decode", action="store_true",
+                    help="n-gram speculative decoding (math/code "
+                    "generations are repetitive; exact sampling)")
     he.set_defaults(fn=cmd_humaneval)
 
     rs = sub.add_parser("reasoning", help="AIME/MATH-500/GPQA-style generative eval")
@@ -492,6 +503,9 @@ def build_parser():
     rs.add_argument("--max_batch", type=int, default=8)
     rs.add_argument("--n_samples", type=int, default=1, help="majority-vote ensembling")
     rs.add_argument("--limit", type=int, default=None)
+    rs.add_argument("--spec_decode", action="store_true",
+                    help="n-gram speculative decoding (math/code "
+                    "generations are repetitive; exact sampling)")
     rs.set_defaults(fn=cmd_reasoning)
 
     mx = sub.add_parser("mix_data", help="merge+shuffle two teacher JSONL files")

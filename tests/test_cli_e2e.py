@@ -75,3 +75,21 @@ def test_cli_mix_data(tmp_path, capsys):
     out = tmp_path / "mix.jsonl"
     main(["mix_data", str(a), str(b), "--out", str(out)])
     assert len(out.read_text().splitlines()) == 4
+
+
+def test_cli_gsm8k_spec_decode_matches(model_dir, tmp_path, capsys):
+    """--spec_decode through the CLI: same accuracy/extraction as the plain
+    engine at temperature 0 (f32 checkpoint: greedy is tie-free)."""
+    data = tmp_path / "gsm_spec.jsonl"
+    with open(data, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"query": f"What is {i} + {i}?",
+                                "response": f"adding gives #### {2*i}"}) + "\n")
+    outs = {}
+    for flag in ([], ["--spec_decode"]):
+        main(["gsm8k", "--model_path", model_dir, "--data_path", str(data),
+              "--max_new_tokens", "8", "--max_batch", "2", "--limit", "3",
+              "--temperature", "0.0"] + flag)
+        outs[bool(flag)] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+    assert outs[True] == outs[False]
