@@ -149,7 +149,8 @@ def cmd_serve(args):
         spec_decode=args.spec_decode,
         spec_ngram=args.spec_ngram,
     )
-    front = ServingFrontend(eng, tok, host=args.host, port=args.port)
+    front = ServingFrontend(eng, tok, host=args.host, port=args.port,
+                            template=args.template)
     import signal
 
     # graceful drain: in-flight requests finish, then the engine loop exits
@@ -406,6 +407,8 @@ def build_parser():
     sv.add_argument("--top_p", type=float, default=0.95)
     sv.add_argument("--decode_horizon", type=int, default=16)
     sv.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
+    sv.add_argument("--template", default="raw",
+                    help="prompt template for /v1/chat/completions")
     sv.add_argument("--spec_decode", action="store_true",
                     help="n-gram speculative decoding: draft from each "
                     "slot's own history, verify k+1 tokens per forward "

@@ -15,6 +15,11 @@ API:
      -> {"text", "tokens", "finish_reason", "prefill_time_s",
          "decode_tokens", "decode_time_s"}
   GET  /health    -> {"ok": true, "active_slots": n, "queued": n}
+  GET  /metrics   -> prometheus text exposition of the engine counters
+  POST /v1/completions, /v1/chat/completions — OpenAI-compatible mappings
+       (max_tokens, messages+template rendering, usage accounting, SSE
+       chunk streaming with a [DONE] terminator) so existing SDK clients
+       can point at the engine unchanged.
 """
 
 from __future__ import annotations
@@ -33,11 +38,13 @@ class ServingFrontend:
     """HTTP server + engine loop. `serve_forever()` runs the engine in the
     calling thread (it owns the TPU) and HTTP handlers in daemon threads."""
 
-    def __init__(self, engine: Engine, tokenizer, host="127.0.0.1", port=8000):
+    def __init__(self, engine: Engine, tokenizer, host="127.0.0.1", port=8000,
+                 template: str = "raw"):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.engine = engine
         self.tok = tokenizer
+        self.template = template  # chat-message rendering (utils/prompts)
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
         frontend = self
@@ -55,23 +62,43 @@ class ServingFrontend:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path != "/health":
-                    return self._json(404, {"error": "not found"})
                 eng = frontend.engine
-                self._json(200, {
-                    "ok": True,
-                    "active_slots": int(eng.active.sum()),
-                    "queued": frontend.queue.qsize(),
-                    "prompt_cache_hits": eng.prompt_cache_hits,
-                    "prompt_cache_misses": eng.prompt_cache_misses,
-                })
+                if self.path == "/health":
+                    return self._json(200, {
+                        "ok": True,
+                        "active_slots": int(eng.active.sum()),
+                        "queued": frontend.queue.qsize(),
+                        "prompt_cache_hits": eng.prompt_cache_hits,
+                        "prompt_cache_misses": eng.prompt_cache_misses,
+                    })
+                if self.path == "/metrics":
+                    # prometheus text exposition of the engine counters
+                    lines = [
+                        f"bdt_active_slots {int(eng.active.sum())}",
+                        f"bdt_queued_requests {frontend.queue.qsize()}",
+                        f"bdt_prompt_cache_hits {eng.prompt_cache_hits}",
+                        f"bdt_prompt_cache_prefix_hits {eng.prompt_cache_prefix_hits}",
+                        f"bdt_prompt_cache_misses {eng.prompt_cache_misses}",
+                        f"bdt_spec_verify_cells {eng.spec_rounds}",
+                        f"bdt_spec_tokens {eng.spec_tokens}",
+                    ]
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    return self.wfile.write(body)
+                return self._json(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
+                if self.path not in ("/generate", "/v1/completions",
+                                     "/v1/chat/completions"):
                     return self._json(404, {"error": "not found"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path != "/generate":
+                        return self._openai(body, chat="chat" in self.path)
                     req = frontend._build_request(body)
                 except Exception as e:  # malformed request
                     return self._json(400, {"error": str(e)})
@@ -91,7 +118,69 @@ class ServingFrontend:
                     "decode_time_s": req.decode_time,
                 })
 
-            def _stream(self, req):
+            def _openai(self, body, chat: bool):
+                """OpenAI-compatible surface: /v1/completions and
+                /v1/chat/completions (point existing SDK clients at the
+                engine). Sampling keys map 1:1; `max_tokens` ->
+                max_new_tokens; chat messages render through the serve
+                template; `stop` strings are encoded and matched as token
+                ids when they tokenize to one token (multi-token stop
+                strings are not supported — documented limitation)."""
+                try:
+                    mapped = {
+                        k: body[k] for k in _SAMPLING_KEYS if k in body
+                    }
+                    mapped["max_new_tokens"] = int(body.get("max_tokens", 256))
+                    stops = body.get("stop") or []
+                    if isinstance(stops, str):
+                        stops = [stops]
+                    stop_ids = []
+                    for s in stops:
+                        ids = frontend.tok.encode(s)
+                        if len(ids) == 1:
+                            stop_ids.append(int(ids[0]))
+                    mapped["stop_token_ids"] = stop_ids
+                    if chat:
+                        msgs = body["messages"]
+                        sys_txt = "\n".join(m["content"] for m in msgs
+                                            if m["role"] == "system")
+                        user = "\n".join(m["content"] for m in msgs
+                                         if m["role"] != "system")
+                        mapped["prompt"] = (sys_txt + "\n" + user).strip()
+                        mapped["template"] = frontend.template
+                    else:
+                        mapped["prompt"] = body["prompt"]
+                    req = frontend._build_request(mapped)
+                except Exception as e:
+                    return self._json(400, {"error": str(e)})
+                obj = "chat.completion" if chat else "text_completion"
+                if body.get("stream"):
+                    return self._stream(req, openai_chat=chat)
+                evt = threading.Event()
+                req.on_finish = lambda _r: evt.set()
+                frontend.queue.put(req)
+                if not evt.wait(timeout=600):
+                    return self._json(504, {"error": "generation timed out"})
+                text = frontend.tok.decode(req.output_tokens)
+                choice = {"index": 0, "finish_reason": req.finish_reason}
+                if chat:
+                    choice["message"] = {"role": "assistant", "content": text}
+                else:
+                    choice["text"] = text
+                self._json(200, {
+                    "id": f"cmpl-{id(req):x}",
+                    "object": obj,
+                    "model": body.get("model", "bitdistiller-tpu"),
+                    "choices": [choice],
+                    "usage": {
+                        "prompt_tokens": len(req.prompt_tokens),
+                        "completion_tokens": len(req.output_tokens),
+                        "total_tokens": len(req.prompt_tokens)
+                        + len(req.output_tokens),
+                    },
+                })
+
+            def _stream(self, req, openai_chat=None):
                 """Server-sent events: one `data:` line per token as the
                 engine emits it (stream_gen.py's per-token yield, over HTTP)."""
                 tokens: "queue.Queue" = queue.Queue()
@@ -104,13 +193,26 @@ class ServingFrontend:
                 self.end_headers()
                 while True:
                     t = tokens.get(timeout=600)
-                    if t is None:
-                        payload = {"done": True,
-                                   "finish_reason": req.finish_reason,
-                                   "text": frontend.tok.decode(req.output_tokens)}
-                    else:
-                        payload = {"token": int(t),
-                                   "text": frontend.tok.decode([t])}
+                    if openai_chat is None:  # native /generate SSE shape
+                        if t is None:
+                            payload = {"done": True,
+                                       "finish_reason": req.finish_reason,
+                                       "text": frontend.tok.decode(req.output_tokens)}
+                        else:
+                            payload = {"token": int(t),
+                                       "text": frontend.tok.decode([t])}
+                    elif t is None:  # OpenAI stream terminator
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        return
+                    else:  # OpenAI chunk shape
+                        piece = frontend.tok.decode([t])
+                        delta = ({"delta": {"content": piece}} if openai_chat
+                                 else {"text": piece})
+                        payload = {"object": "chat.completion.chunk"
+                                   if openai_chat else "text_completion",
+                                   "choices": [dict(delta, index=0,
+                                                    finish_reason=None)]}
                     self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
                     self.wfile.flush()
                     if t is None:

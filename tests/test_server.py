@@ -195,3 +195,54 @@ def test_http_cache_prompt_flag():
     finally:
         front.shutdown()
         t.join(timeout=60)
+
+
+def test_openai_compatible_endpoints(frontend):
+    """/v1/completions and /v1/chat/completions: OpenAI response shapes,
+    usage accounting, SSE chunk stream with [DONE] terminator, /metrics."""
+    front, url, params, cfg = frontend
+
+    out = _post_path(url, "/v1/completions", {
+        "prompt": "hello", "max_tokens": 5, "temperature": 0.0})
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["finish_reason"] == "length"
+    assert out["usage"]["completion_tokens"] == 5
+    assert out["usage"]["total_tokens"] == out["usage"]["prompt_tokens"] + 5
+    # parity with the native endpoint at greedy
+    native = _post(url, {"prompt": "hello", "max_new_tokens": 5,
+                         "temperature": 0.0})
+    assert out["choices"][0]["text"] == native["text"]
+
+    chat = _post_path(url, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 4, "temperature": 0.0})
+    assert chat["object"] == "chat.completion"
+    assert chat["choices"][0]["message"]["role"] == "assistant"
+    assert len(chat["choices"][0]["message"]["content"]) > 0
+
+    # OpenAI SSE stream: chunks then [DONE]
+    req = urllib.request.Request(
+        f"{url}/v1/chat/completions",
+        json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 3, "temperature": 0.0,
+                    "stream": True}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    lines = [l for l in urllib.request.urlopen(req, timeout=120)
+             if l.startswith(b"data: ")]
+    assert lines[-1].strip() == b"data: [DONE]"
+    chunks = [json.loads(l[6:]) for l in lines[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    text = "".join(c["choices"][0]["delta"]["content"] for c in chunks)
+    assert len(chunks) == 3 and len(text) > 0
+
+    metrics = urllib.request.urlopen(f"{url}/metrics", timeout=30).read()
+    assert b"bdt_active_slots" in metrics and b"bdt_spec_tokens" in metrics
+
+
+def _post_path(url, path, body):
+    req = urllib.request.Request(
+        f"{url}{path}", json.dumps(body).encode(),
+        {"Content-Type": "application/json"},
+    )
+    return json.load(urllib.request.urlopen(req, timeout=120))
