@@ -151,6 +151,15 @@ class Engine:
         self.spec_decode = spec_decode
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
+        # adaptive fallback: drafting is free where decode is weight-bound
+        # (7B) but the S=k+1 verify costs real compute on small models; when
+        # the rolling acceptance (tokens per verify cell) drops under
+        # spec_min_accept the engine dispatches the plain scan instead and
+        # probes spec again every spec_retry_every rounds
+        self.spec_min_accept = 1.3
+        self.spec_retry_every = 16
+        self._spec_ema: float | None = None
+        self._spec_off_rounds = 0
         if pipeline_rounds and spec_decode:
             raise ValueError("pipeline_rounds and spec_decode are exclusive")
         self.history = jnp.full((max_slots, spec_history), -2, jnp.int32)
@@ -706,16 +715,26 @@ class Engine:
         self.cache = fn(self.cache)
 
     def _spec_active(self) -> bool:
+        """Per-round spec/plain decision — call ONCE per round (run() passes
+        the result into _dispatch_decode so the headroom bound and the
+        dispatched executable can never disagree)."""
         # custom per-slot sampling falls back to the plain scan (the spec
         # verify samples all positions with the UNIFORM engine params)
-        return self.spec_decode and not bool(self._slot_custom.any())
+        if not self.spec_decode or bool(self._slot_custom.any()):
+            return False
+        if self._spec_ema is not None and self._spec_ema < self.spec_min_accept:
+            # acceptance too low to pay for the verify forward: plain scan,
+            # with a periodic probe so regime changes are picked up
+            self._spec_off_rounds += 1
+            return self._spec_off_rounds % self.spec_retry_every == 0
+        return True
 
-    def _dispatch_decode(self, steps: int):
+    def _dispatch_decode(self, steps: int, spec: bool | None = None):
         """Dispatch one decode horizon; returns (tokens, counts): plain
         scan -> ([steps, B], None); spec-decode -> ([steps, B, k+1] with
         per-round valid counts [steps, B]). No sync: cur_tokens/lengths
         advance on device."""
-        if self._spec_active():
+        if self._spec_active() if spec is None else spec:
             tps = self.spec_k + 1
             if self.active.any():
                 self._ensure_cache(
@@ -867,8 +886,10 @@ class Engine:
                 steps = self.horizon
                 # spec-decode writes up to k+1 cache rows per round: the
                 # headroom bound scales; the budget bound stays per-round
-                # (every round yields >= 1 token)
-                tpr = (self.spec_k + 1) if self._spec_active() else 1
+                # (every round yields >= 1 token). Decided ONCE here and
+                # passed to the dispatch below.
+                spec_now = self._spec_active()
+                tpr = (self.spec_k + 1) if spec_now else 1
                 while steps > 1 and (
                     steps > max(max_rem, 1) or steps * tpr > headroom
                 ):
@@ -878,7 +899,7 @@ class Engine:
                     self._active_dev = jnp.asarray(dispatch_active)
                     self._active_dirty = False
                 t0 = time.time()
-                toks = self._dispatch_decode(steps)  # (tokens, counts)
+                toks = self._dispatch_decode(steps, spec=spec_now)
                 chain_rem = min(min_rem, headroom) // steps - 1
                 inflight = (toks, steps, dispatch_active, firsts_dev,
                             admit_reqs, admit_slots, t0, chain_rem)
@@ -911,8 +932,15 @@ class Engine:
                 toks_np, counts_np = jax.device_get(toks)
             dt = time.time() - t0
             if counts_np is not None:
-                self.spec_rounds += int((counts_np > 0).sum())
+                cells = int((counts_np > 0).sum())
+                self.spec_rounds += cells
                 self.spec_tokens += int(counts_np.sum())
+                if cells:
+                    rate = counts_np.sum() / cells
+                    self._spec_ema = (
+                        rate if self._spec_ema is None
+                        else 0.7 * self._spec_ema + 0.3 * rate
+                    )
             if admit_reqs:
                 for t_val, slot in zip(firsts_np, admit_slots):
                     self._emit(slot, int(t_val))

@@ -182,9 +182,9 @@ def test_engine_pipelined_speculation_dispatches(tiny_engine, monkeypatch):
     calls = []
     real = eng._dispatch_decode
 
-    def spy(steps):
+    def spy(steps, spec=None):
         calls.append(steps)
-        return real(steps)
+        return real(steps, spec=spec)
 
     monkeypatch.setattr(eng, "_dispatch_decode", spy)
     out = eng.generate([[3, 7, 11]], max_new_tokens=33)[0]
@@ -633,3 +633,22 @@ def test_ngram_draft_exact_followers():
     d3 = np.asarray(Engine.ngram_draft(hist, k=2, ngram=3))
     np.testing.assert_array_equal(d3[0], [-1, -1])
     np.testing.assert_array_equal(d3[1], [3, 3])
+
+
+def test_spec_decode_adaptive_fallback():
+    """On structureless prompts acceptance sits at ~1 token/cell: the engine
+    must fall back to the plain scan (with periodic probes) and still emit
+    exactly the plain-engine tokens."""
+    cfg, params = _f32_pair()
+    prompts = [[3, 11, 4, 9, 2], list(range(3, 30))]
+    base = Engine(params, cfg, max_slots=2, max_len=256,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    want = base.generate(prompts, max_new_tokens=64)
+    spec = Engine(params, cfg, max_slots=2, max_len=256,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32, spec_decode=True, spec_k=4)
+    got = spec.generate(prompts, max_new_tokens=64)
+    assert got == want
+    assert spec._spec_ema is not None and spec._spec_ema < spec.spec_min_accept
+    assert spec._spec_off_rounds > 0  # plain rounds actually happened
