@@ -154,6 +154,8 @@ def main():
                     choices=["full", "save_quantized"],
                     help="train mode: gradient-checkpoint policy")
     ap.add_argument("--skip-short-row", action="store_true")
+    ap.add_argument("--spec-k", type=int, default=4,
+                    help="engine --spec: draft length per verify round")
     ap.add_argument("--spec", action="store_true",
                     help="engine mode: n-gram speculative decoding over a "
                     "periodic-prompt workload")
@@ -286,7 +288,7 @@ def main():
             decode_horizon=args.horizon,
             cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
             pipeline_rounds=args.pipeline,
-            spec_decode=args.spec,
+            spec_decode=args.spec, spec_k=args.spec_k,
         )
         if args.spec:
             # periodic prompts: the favorable (and honest-about-it) workload
