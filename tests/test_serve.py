@@ -467,11 +467,13 @@ def test_engine_prompt_cache_prefix_extension(tiny_engine):
         assert r3.output_tokens == solo.generate([turn3], max_new_tokens=4)[0]
 
 
-def test_engine_random_soak_matches_solo(tiny_engine):
+@pytest.mark.parametrize("spec", [False, True])
+def test_engine_random_soak_matches_solo(tiny_engine, spec):
     """Randomized scheduling soak: many requests with mixed prompt lengths,
     budgets, stop tokens, and a feeder that trickles arrivals — every greedy
     output must equal a solo single-request engine run. Locks the horizon /
-    admission / growth / dedup scheduling against regressions."""
+    admission / growth / dedup / spec-decode scheduling against
+    regressions."""
     import random
 
     # f32 end to end: greedy equality across batch shapes is exact in f32;
@@ -491,7 +493,8 @@ def test_engine_random_soak_matches_solo(tiny_engine):
 
     eng = Engine(params, cfg, max_slots=3, max_len=128,
                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
-                 cache_dtype=jnp.float32, prompt_cache_size=2)
+                 cache_dtype=jnp.float32, prompt_cache_size=2,
+                 spec_decode=spec, spec_k=3)
     reqs = [Request(prompt_tokens=p, max_new_tokens=m, stop_token_ids=s,
                     cache_prompt=(i % 5 == 0))
             for i, (p, m, s) in enumerate(reqs_spec)]
