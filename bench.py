@@ -376,10 +376,15 @@ def main():
 
         eng = Engine(
             params, cfg, max_slots=args.batch, max_len=1024,
-            sampling=SamplingParams(temperature=0.7), eos_token_id=None,
+            # spec serve runs greedy: at temperature 0.7 a RANDOM-weight
+            # model samples near-uniformly and no draft ever matches (a real
+            # model at 0.7 is far lower-entropy); greedy isolates the stack
+            sampling=SamplingParams(temperature=0.0 if args.spec else 0.7),
+            eos_token_id=None,
             decode_horizon=args.horizon,
             cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
             prompt_cache_size=4 if args.shared_prefix else 0,
+            spec_decode=args.spec, spec_k=args.spec_k,
         )
         front = ServingFrontend(eng, IdTok(), port=0)
         t = threading.Thread(target=front.serve_forever)
@@ -402,6 +407,14 @@ def main():
                     out.append({"prompt_tokens": toks,
                                 "max_new_tokens": max_new,
                                 "temperature": 0.7})
+                elif args.spec:
+                    # periodic prompts (the favorable spec workload) through
+                    # the FULL online stack; temperature 0.7 = engine default
+                    # so requests stay on the uniform spec-capable path
+                    out.append({"prompt_tokens": list(map(int, rng.integers(
+                        0, cfg.vocab_size, (16,)))) * 8,
+                                "max_new_tokens": max_new,
+                                "temperature": 0.0})
                 else:
                     out.append({"prompt_tokens": list(map(int, rng.integers(
                         0, cfg.vocab_size, (128,)))),
@@ -441,6 +454,10 @@ def main():
             "requests": summary["requests"],
             "errors": summary["errors"] + sse["errors"],
         }
+        if args.spec:
+            out["metric"] += ", spec-decode (periodic prompts)"
+            out["spec_tokens_per_round"] = round(
+                eng.spec_tokens / max(eng.spec_rounds, 1), 2)
         if uncached is not None:
             out["metric"] += f", shared {args.shared_prefix}-tok prefix"
             out["uncached_tok_s"] = uncached["throughput_tok_s"]

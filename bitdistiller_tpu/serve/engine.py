@@ -714,27 +714,30 @@ class Engine:
             self._grow_fns[key] = fn
         self.cache = fn(self.cache)
 
-    def _spec_active(self) -> bool:
-        """Per-round spec/plain decision — call ONCE per round (run() passes
-        the result into _dispatch_decode so the headroom bound and the
-        dispatched executable can never disagree)."""
+    def _spec_active(self) -> tuple:
+        """Per-round (spec, probe) decision — call ONCE per round (run()
+        passes the result into _dispatch_decode so the headroom bound and
+        the dispatched executable can never disagree). A probe is a
+        1-verify-round spec dispatch: a FULL spec horizon costs ~2x a plain
+        one when drafts never land (measured ~20% E2E on a structureless
+        workload), so regime re-checks stay cheap."""
         # custom per-slot sampling falls back to the plain scan (the spec
         # verify samples all positions with the UNIFORM engine params)
         if not self.spec_decode or bool(self._slot_custom.any()):
-            return False
+            return False, False
         if self._spec_ema is not None and self._spec_ema < self.spec_min_accept:
             # acceptance too low to pay for the verify forward: plain scan,
             # with a periodic probe so regime changes are picked up
             self._spec_off_rounds += 1
-            return self._spec_off_rounds % self.spec_retry_every == 0
-        return True
+            return self._spec_off_rounds % self.spec_retry_every == 0, True
+        return True, False
 
     def _dispatch_decode(self, steps: int, spec: bool | None = None):
         """Dispatch one decode horizon; returns (tokens, counts): plain
         scan -> ([steps, B], None); spec-decode -> ([steps, B, k+1] with
         per-round valid counts [steps, B]). No sync: cur_tokens/lengths
         advance on device."""
-        if self._spec_active() if spec is None else spec:
+        if self._spec_active()[0] if spec is None else spec:
             tps = self.spec_k + 1
             if self.active.any():
                 self._ensure_cache(
@@ -888,12 +891,14 @@ class Engine:
                 # headroom bound scales; the budget bound stays per-round
                 # (every round yields >= 1 token). Decided ONCE here and
                 # passed to the dispatch below.
-                spec_now = self._spec_active()
+                spec_now, spec_probe = self._spec_active()
                 tpr = (self.spec_k + 1) if spec_now else 1
                 while steps > 1 and (
                     steps > max(max_rem, 1) or steps * tpr > headroom
                 ):
                     steps //= 2
+                if spec_now and spec_probe:
+                    steps = 1  # cheap probe: one verify round, not a horizon
                 dispatch_active = self.active.copy()
                 if self._active_dirty:  # upload only when a slot changed
                     self._active_dev = jnp.asarray(dispatch_active)
