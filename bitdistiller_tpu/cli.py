@@ -146,9 +146,14 @@ def cmd_serve(args):
         cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         decode_horizon=args.decode_horizon,
         prompt_cache_size=args.prompt_cache_size,
+        prompt_cache_bytes=(int(args.prompt_cache_gb * (1 << 30))
+                            if args.prompt_cache_gb else None),
         spec_decode=args.spec_decode,
         spec_ngram=args.spec_ngram,
     )
+    if args.warmup:
+        print("warming engine executables...", flush=True)
+        eng.warmup(verbose=print)
     front = ServingFrontend(eng, tok, host=args.host, port=args.port,
                             template=args.template)
     import signal
@@ -409,6 +414,10 @@ def build_parser():
     sv.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
     sv.add_argument("--template", default="raw",
                     help="prompt template for /v1/chat/completions")
+    sv.add_argument("--warmup", action="store_true",
+                    help="pre-compile admission/decode executables before "
+                    "accepting traffic (first requests otherwise pay "
+                    "multi-second compiles)")
     sv.add_argument("--spec_decode", action="store_true",
                     help="n-gram speculative decoding: draft from each "
                     "slot's own history, verify k+1 tokens per forward "
@@ -416,6 +425,9 @@ def build_parser():
     sv.add_argument("--spec_ngram", type=int, default=2,
                     help="context gram length for draft lookup (3 matched "
                     "slightly better on real code text)")
+    sv.add_argument("--prompt_cache_gb", type=float, default=0.0,
+                    help="HBM budget for the prompt cache (LRU eviction "
+                    "past it); 0 = entry-count cap only")
     sv.add_argument("--prompt_cache_size", type=int, default=0,
                     help="LRU entries of prompt-prefill KV kept on device; "
                     "requests with cache_prompt=true skip prefill on repeat "

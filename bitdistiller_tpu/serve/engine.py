@@ -92,6 +92,7 @@ class Engine:
         grow_cache: bool = True,
         cache_bucket_factor: int = 2,
         prompt_cache_size: int = 0,
+        prompt_cache_bytes: int | None = None,
         spec_decode: bool = False,
         spec_k: int = 4,
         spec_ngram: int = 2,
@@ -127,6 +128,9 @@ class Engine:
         import collections
 
         self.prompt_cache_size = prompt_cache_size
+        # optional HBM budget for the cache (entries are real device
+        # buffers: a 512-token 7B entry is ~270 MB) — evicts LRU past it
+        self.prompt_cache_bytes = prompt_cache_bytes
         self._prompt_cache: "collections.OrderedDict" = collections.OrderedDict()
         self._slice_fns: dict = {}
         self._extend_fns: dict = {}
@@ -421,6 +425,20 @@ class Engine:
                 return i
         return None
 
+    def _prompt_cache_put(self, key, entry):
+        """Insert + LRU eviction by entry count and (optionally) by the
+        summed device bytes of the stored prefill rows."""
+        self._prompt_cache[key] = entry
+        while len(self._prompt_cache) > self.prompt_cache_size:
+            self._prompt_cache.popitem(last=False)
+        if self.prompt_cache_bytes is None:
+            return
+        nbytes = lambda e: e[0].k.nbytes + e[0].v.nbytes + e[1].nbytes
+        total = sum(nbytes(e) for e in self._prompt_cache.values())
+        while total > self.prompt_cache_bytes and self._prompt_cache:
+            _, ev = self._prompt_cache.popitem(last=False)
+            total -= nbytes(ev)
+
     def _slice_entry(self, kv: KVCache, last_logits, row: int, pb: int):
         """Slice one prefill row down to its own length bucket for the
         prompt cache (jitted, memoized per shape pair)."""
@@ -536,9 +554,7 @@ class Engine:
                     hits[i] = (kv2, last2, tot)
                     self.prompt_cache_prefix_hits += 1
                     if reqs[i].cache_prompt:
-                        self._prompt_cache[k] = (kv2, last2, tot)
-                        while len(self._prompt_cache) > self.prompt_cache_size:
-                            self._prompt_cache.popitem(last=False)
+                        self._prompt_cache_put(k, (kv2, last2, tot))
             self.prompt_cache_hits += len(hits)
             self.prompt_cache_misses += n - len(hits)
 
@@ -593,9 +609,7 @@ class Engine:
                         continue
                     pb = next(b for b in self.buckets if b >= plens[i])
                     ekv, el = self._slice_entry(kv, miss_last, row_of[i], pb)
-                    self._prompt_cache[keys[i]] = (ekv, el, plens[i])
-                    while len(self._prompt_cache) > self.prompt_cache_size:
-                        self._prompt_cache.popitem(last=False)
+                    self._prompt_cache_put(keys[i], (ekv, el, plens[i]))
 
         # cache-hit inserts: stored prefill rows copy straight into the slot
         # (compiles bounded by the entry's length bucket)
@@ -988,6 +1002,31 @@ class Engine:
                     done.append(req)
                     pending -= 1
         return done
+
+    def warmup(self, prompt_len: int = 64, verbose=None):
+        """Pre-compile the hot executables before real traffic: admission
+        buckets {1, 2, 4, ..., max_slots} at one prompt bucket, the full and
+        tail decode horizons, and (if grow_cache) the per-bucket decode
+        executables by walking one slot through every cache bucket. Online
+        serving otherwise pays each compile (~seconds on first traffic) on
+        a live request's latency."""
+        t0 = time.time()
+        plen = min(prompt_len, self.max_len // 2)
+        sizes, nb = [], self.max_slots
+        while nb >= 1:
+            sizes.append(nb)
+            nb //= 2
+        base = list(range(3, 3 + plen))
+        for nbs in sizes:
+            self.generate([base] * nbs, max_new_tokens=self.horizon + 1)
+        self.generate([base], max_new_tokens=max(self.horizon - 1, 1))
+        if self.grow_cache and self.max_len > self._cache_len():
+            # one full-length trajectory grows through every bucket
+            self.generate([base], max_new_tokens=self.max_len - plen - 2)
+            for nbs in sizes:  # re-warm admission at the grown buffer
+                self.generate([base] * nbs, max_new_tokens=1)
+        if verbose:
+            verbose(f"engine warmup done in {time.time() - t0:.1f}s")
 
     def generate(
         self,

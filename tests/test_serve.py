@@ -655,3 +655,52 @@ def test_spec_decode_adaptive_fallback():
     assert got == want
     assert spec._spec_ema is not None and spec._spec_ema < spec.spec_min_accept
     assert spec._spec_off_rounds > 0  # plain rounds actually happened
+
+
+def test_prompt_cache_bytes_budget(tiny_engine):
+    """prompt_cache_bytes evicts LRU entries past the device-byte budget
+    even when the entry-count cap would allow them."""
+    cfg, params = tiny_engine
+    eng = Engine(params, cfg, max_slots=2, max_len=64,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                 prompt_cache_size=8, prompt_cache_bytes=1)  # ~nothing fits
+    eng.run([Request(prompt_tokens=[3, 1, 4], max_new_tokens=2,
+                     cache_prompt=True)])
+    assert len(eng._prompt_cache) == 0  # over-budget entry dropped
+
+    ekv_bytes = None
+    eng2 = Engine(params, cfg, max_slots=2, max_len=64,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  prompt_cache_size=8, prompt_cache_bytes=1 << 30)
+    for p in ([3, 1, 4], [5, 5], [9, 2, 2]):
+        eng2.run([Request(prompt_tokens=p, max_new_tokens=2,
+                          cache_prompt=True)])
+    assert len(eng2._prompt_cache) == 3  # generous budget keeps all
+    e = next(iter(eng2._prompt_cache.values()))
+    ekv_bytes = e[0].k.nbytes + e[0].v.nbytes + e[1].nbytes
+    eng3 = Engine(params, cfg, max_slots=2, max_len=64,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  prompt_cache_size=8,
+                  prompt_cache_bytes=int(ekv_bytes * 2.5))  # fits exactly 2
+    for p in ([3, 1, 4], [5, 5], [9, 2, 2]):
+        eng3.run([Request(prompt_tokens=p, max_new_tokens=2,
+                          cache_prompt=True)])
+    assert len(eng3._prompt_cache) == 2
+    assert tuple([3, 1, 4]) not in eng3._prompt_cache  # LRU went first
+
+
+def test_engine_warmup_compiles_and_serves(tiny_engine):
+    """warmup() must leave the engine in a clean state: a real request after
+    warmup produces the same greedy output as a fresh engine."""
+    cfg, params = tiny_engine
+    eng = Engine(params, cfg, max_slots=2, max_len=128,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    msgs = []
+    eng.warmup(prompt_len=8, verbose=msgs.append)
+    assert msgs and "warmup done" in msgs[0]
+    assert not eng.active.any()
+    fresh = Engine(params, cfg, max_slots=2, max_len=128,
+                   sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    p = [5, 9, 2]
+    assert eng.generate([p], max_new_tokens=6) == fresh.generate(
+        [p], max_new_tokens=6)
