@@ -65,7 +65,8 @@ def serve_capacity(cfg: mcfg.ModelConfig, *, bits: int = 2,
                    hbm_bytes: int = 16 * GiB,
                    reserve_frac: float = 0.10,
                    grow_cache: bool = True,
-                   cache_bucket_factor: int = 2) -> dict:
+                   cache_bucket_factor: int = 2,
+                   prompt_cache_bytes: int = 0) -> dict:
     """Max engine slots for one chip (or a tp group: weights and KV heads
     divide by tp). `reserve_frac` holds back HBM for activations,
     executables, and donation transients.
@@ -79,7 +80,10 @@ def serve_capacity(cfg: mcfg.ModelConfig, *, bits: int = 2,
     per_slot = kv_bytes_per_slot(cfg, max_len, kv_dtype) // tp
     if grow_cache:
         per_slot = per_slot + per_slot // cache_bucket_factor  # growth peak
-    budget = int(hbm_bytes * (1 - reserve_frac)) - weights
+    # Engine(prompt_cache_bytes=...) holds real device buffers on top of
+    # the slot KV: reserve them out of the plannable budget
+    budget = (int(hbm_bytes * (1 - reserve_frac)) - weights
+              - int(prompt_cache_bytes))
     slots = max(budget // per_slot, 0)
     return {
         "weights_bytes": weights,

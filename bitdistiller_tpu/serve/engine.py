@@ -127,6 +127,9 @@ class Engine:
         # Stored raw (pre-quantization): _insert requantizes for int8 caches.
         import collections
 
+        # a byte budget alone also enables caching (count cap defaults huge)
+        if prompt_cache_bytes is not None and prompt_cache_size == 0:
+            prompt_cache_size = 1 << 30
         self.prompt_cache_size = prompt_cache_size
         # optional HBM budget for the cache (entries are real device
         # buffers: a 512-token 7B entry is ~270 MB) — evicts LRU past it
@@ -429,6 +432,7 @@ class Engine:
         """Insert + LRU eviction by entry count and (optionally) by the
         summed device bytes of the stored prefill rows."""
         self._prompt_cache[key] = entry
+        self._prompt_cache.move_to_end(key)  # re-inserts refresh LRU order
         while len(self._prompt_cache) > self.prompt_cache_size:
             self._prompt_cache.popitem(last=False)
         if self.prompt_cache_bytes is None:
@@ -1004,27 +1008,45 @@ class Engine:
         return done
 
     def warmup(self, prompt_len: int = 64, verbose=None):
-        """Pre-compile the hot executables before real traffic: admission
-        buckets {1, 2, 4, ..., max_slots} at one prompt bucket, the full and
+        """Pre-compile the hot executables before real traffic: every
+        admission group size 1..max_slots (the commit/insert executables
+        compile per exact group size; prompts are DISTINCT per slot so
+        in-group dedup cannot collapse the prefill batch), the full and
         tail decode horizons, and (if grow_cache) the per-bucket decode
         executables by walking one slot through every cache bucket. Online
         serving otherwise pays each compile (~seconds on first traffic) on
-        a live request's latency."""
+        a live request's latency. EOS and the adaptive-speculation fallback
+        are suspended for the duration (a model may emit EOS on synthetic
+        prompts, silently skipping buckets; low warmup acceptance must not
+        disable spec for real traffic), and the spec/prompt-cache counters
+        are restored so /metrics reflects only live traffic."""
         t0 = time.time()
         plen = min(prompt_len, self.max_len // 2)
-        sizes, nb = [], self.max_slots
-        while nb >= 1:
-            sizes.append(nb)
-            nb //= 2
-        base = list(range(3, 3 + plen))
-        for nbs in sizes:
-            self.generate([base] * nbs, max_new_tokens=self.horizon + 1)
-        self.generate([base], max_new_tokens=max(self.horizon - 1, 1))
-        if self.grow_cache and self.max_len > self._cache_len():
-            # one full-length trajectory grows through every bucket
-            self.generate([base], max_new_tokens=self.max_len - plen - 2)
-            for nbs in sizes:  # re-warm admission at the grown buffer
-                self.generate([base] * nbs, max_new_tokens=1)
+        saved = (self.eos, self.spec_min_accept, self._spec_ema,
+                 self._spec_off_rounds, self.spec_rounds, self.spec_tokens,
+                 self.prompt_cache_hits, self.prompt_cache_prefix_hits,
+                 self.prompt_cache_misses)
+        self.eos = None
+        self.spec_min_accept = -1.0  # keep spec executables compiling
+        try:
+            def prompts(n):  # distinct per slot: dedup keeps n prefill rows
+                return [list(range(3 + j, 3 + j + plen))
+                        for j in range(n)]
+
+            for nbs in range(self.max_slots, 0, -1):
+                self.generate(prompts(nbs), max_new_tokens=self.horizon + 1)
+            self.generate(prompts(1), max_new_tokens=max(self.horizon - 1, 1))
+            if self.grow_cache and self.max_len > self._cache_len():
+                # one full-length trajectory grows through every bucket
+                self.generate(prompts(1),
+                              max_new_tokens=self.max_len - plen - 2)
+                for nbs in range(self.max_slots, 0, -1):
+                    self.generate(prompts(nbs), max_new_tokens=1)
+        finally:
+            (self.eos, self.spec_min_accept, self._spec_ema,
+             self._spec_off_rounds, self.spec_rounds, self.spec_tokens,
+             self.prompt_cache_hits, self.prompt_cache_prefix_hits,
+             self.prompt_cache_misses) = saved
         if verbose:
             verbose(f"engine warmup done in {time.time() - t0:.1f}s")
 

@@ -704,3 +704,22 @@ def test_engine_warmup_compiles_and_serves(tiny_engine):
     p = [5, 9, 2]
     assert eng.generate([p], max_new_tokens=6) == fresh.generate(
         [p], max_new_tokens=6)
+
+
+def test_engine_warmup_with_eos_still_grows_cache(tiny_engine):
+    """EOS is suspended during warmup: even if the model would emit the eos
+    token on synthetic prompts, warmup must still walk the cache through
+    every growth bucket (and restore eos + counters after)."""
+    cfg, params = tiny_engine
+    eng0 = Engine(params, cfg, max_slots=2, max_len=256,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None)
+    first = eng0.generate([[3, 4, 5, 6, 7, 8, 9, 10]], max_new_tokens=1)[0][0]
+    eng = Engine(params, cfg, max_slots=2, max_len=256,
+                 sampling=SamplingParams(temperature=0.0),
+                 eos_token_id=first,  # would stop immediately without the fix
+                 spec_decode=True, spec_k=3, prompt_cache_size=2)
+    eng.warmup(prompt_len=8)
+    assert eng.cache.k.shape[3] == 256  # grew through every bucket
+    assert eng.eos == first  # restored
+    assert eng._spec_ema is None and eng.spec_rounds == 0  # counters clean
+    assert eng.spec_min_accept == 1.3
