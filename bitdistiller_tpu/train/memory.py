@@ -56,8 +56,10 @@ def kd_train_memory_estimate(
 
     teacher = 2 * n / param_div if tc.train_kd else 0  # bf16
     latent = latent_itemsize * n / param_div
-    # f32 master (when latents are low precision) + Adam mu/nu f32
-    opt = ((4 if has_master else 0) + 8) * n / opt_div
+    # f32 master (when latents are low precision) + Adam mu/nu f32;
+    # optax.MultiSteps adds a persistent f32 grad-accumulation buffer
+    opt = ((4 if has_master else 0) + 8
+           + (4 if tc.grad_accum > 1 else 0)) * n / opt_div
     # transients -----------------------------------------------------------
     grads = latent_itemsize * n / param_div  # live through the update
     # remat residuals: one activation per layer boundary (+ a few working
@@ -105,7 +107,8 @@ LLAMA2_7B = mcfg.ModelConfig(
 def format_estimate(est: dict, label: str = "") -> str:
     parts = ", ".join(
         f"{k} {est[k] / GiB:.2f}"
-        for k in ("teacher", "latent", "opt_state", "grads", "activations", "logits")
+        for k in ("teacher", "latent", "opt_state", "grads", "activations",
+                  "logits", "quant_tmp")
     )
     return (
         f"{label}{est['params'] / 1e9:.2f}B params: "
@@ -150,8 +153,8 @@ def dp_train_scaling(
     n = param_count(cfg)
     grad_bytes = jnp.dtype(tc.param_dtype).itemsize * n / tp
     if dp == 1:
-        return {"dp": 1, "t_step_s": t_step_s, "t_comm_s": 0.0,
-                "efficiency": 1.0}
+        return {"dp": 1, "hosts": 1, "t_step_s": t_step_s,
+                "t_comm_s": 0.0, "efficiency": 1.0}
     hosts = max((dp * tp + chips_per_host - 1) // chips_per_host, 1)
     ring = 2 * (dp - 1) / dp
     t_ici = ring * grad_bytes / ici_bw

@@ -26,11 +26,14 @@ import urllib.request
 
 
 def _percentile(xs, p):
+    """Nearest-rank percentile (ceil(p/100*N)-th order statistic); None on
+    empty input so the JSON summary stays strictly parseable."""
     if not xs:
-        return float("nan")
+        return None
     xs = sorted(xs)
-    i = min(int(p / 100.0 * len(xs)), len(xs) - 1)
-    return xs[i]
+    import math
+    i = max(math.ceil(p / 100.0 * len(xs)) - 1, 0)
+    return xs[min(i, len(xs) - 1)]
 
 
 def one_request(url: str, body: dict, stream: bool, out: list, lock):
@@ -81,18 +84,27 @@ def run_load(url: str, bodies: list[dict], concurrency: int,
     returns the summary dict (also usable in-process from tests)."""
     results: list = []
     lock = threading.Lock()
-    sem = threading.Semaphore(concurrency)
-    threads = []
+    # fixed worker pool draining a queue: one thread per REQUEST would
+    # reserve ~8 MB of stack each and hit thread limits on soak runs
+    import queue as _q
 
-    def worker(body):
-        with sem:
+    work: "_q.Queue" = _q.Queue()
+    for body in bodies:
+        work.put(body)
+
+    def worker():
+        while True:
+            try:
+                body = work.get_nowait()
+            except _q.Empty:
+                return
             one_request(url, body, stream, results, lock)
 
     t0 = time.time()
-    for body in bodies:
-        t = threading.Thread(target=worker, args=(body,))
+    threads = [threading.Thread(target=worker)
+               for _ in range(min(concurrency, len(bodies)))]
+    for t in threads:
         t.start()
-        threads.append(t)
     for t in threads:
         t.join()
     wall = time.time() - t0
@@ -100,23 +112,24 @@ def run_load(url: str, bodies: list[dict], concurrency: int,
     ok = [r for r in results if r.get("ok")]
     lat = [r["latency_s"] for r in ok]
     toks = sum(r.get("tokens", 0) for r in ok)
+    rnd = lambda v: round(v, 3) if v is not None else None
     summary = {
         "requests": len(results),
         "ok": len(ok),
         "errors": len(results) - len(ok),
         "wall_s": round(wall, 3),
         "throughput_tok_s": round(toks / wall, 1) if wall else 0.0,
-        "latency_p50_s": round(_percentile(lat, 50), 3),
-        "latency_p90_s": round(_percentile(lat, 90), 3),
-        "latency_p99_s": round(_percentile(lat, 99), 3),
+        "latency_p50_s": rnd(_percentile(lat, 50)),
+        "latency_p90_s": rnd(_percentile(lat, 90)),
+        "latency_p99_s": rnd(_percentile(lat, 99)),
     }
     ttfts = [r["ttft_s"] for r in ok if r.get("ttft_s") is not None]
     if ttfts:
-        summary["ttft_p50_s"] = round(_percentile(ttfts, 50), 3)
-        summary["ttft_p90_s"] = round(_percentile(ttfts, 90), 3)
+        summary["ttft_p50_s"] = rnd(_percentile(ttfts, 50))
+        summary["ttft_p90_s"] = rnd(_percentile(ttfts, 90))
     prefills = [r["prefill_s"] for r in ok if r.get("prefill_s") is not None]
     if prefills:
-        summary["prefill_p50_s"] = round(_percentile(prefills, 50), 3)
+        summary["prefill_p50_s"] = rnd(_percentile(prefills, 50))
     return summary
 
 

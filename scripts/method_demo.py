@@ -180,9 +180,8 @@ def spec_bench(teacher, cfg, eval_blocks, log):
     """Greedy generation on held-out REAL-text prompts: plain engine vs
     n-gram speculative decoding (acceptance on natural text, not the
     periodic synthetic workload bench.py uses)."""
-    import time as _t
-
     prompts = [list(map(int, b[:64])) for b in eval_blocks[:16]]
+    max_new = min(256, SEQ - 64 - 2)  # fit the engine's max_len
     res = {}
     for mode in ("plain", "ng2", "ng3"):
         kw = {} if mode == "plain" else dict(
@@ -191,9 +190,9 @@ def spec_bench(teacher, cfg, eval_blocks, log):
                      sampling=SamplingParams(temperature=0.0),
                      eos_token_id=None, decode_horizon=16, **kw)
         eng.generate(prompts[:2], max_new_tokens=24)  # warm
-        t0 = _t.time()
-        outs = eng.generate(prompts, max_new_tokens=256)
-        dt = _t.time() - t0
+        t0 = time.time()
+        outs = eng.generate(prompts, max_new_tokens=max_new)
+        dt = time.time() - t0
         toks = sum(len(o) for o in outs)
         acc = eng.spec_tokens / max(eng.spec_rounds, 1)
         res[mode] = {"tok_s": toks / dt, "outs": outs, "accept": acc}
@@ -221,6 +220,7 @@ def main():
     ap.add_argument("--qat-steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--gen-samples", type=int, default=256)
+    ap.add_argument("--qat-batch", type=int, default=16)
     ap.add_argument("--group-size", type=int, default=None)
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--spec-bench", action="store_true",
@@ -302,7 +302,7 @@ def main():
         clip_ppl = ppl(clipped, q_eval)
         log(f"[{label}] AutoClip ppl {clip_ppl:.4f}")
         qat = kd_qat(cfg, clipped, teacher, (prompts, gens), qt, G,
-                     args.qat_steps, 16, log)
+                     args.qat_steps, args.qat_batch, log)
         qat_ppl = ppl(qat, q_eval)
         log(f"[{label}] QAT ppl {qat_ppl:.4f}")
         row = {"label": label, "rtn": rtn_ppl, "clip": clip_ppl, "qat": qat_ppl}
