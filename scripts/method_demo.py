@@ -183,9 +183,11 @@ def spec_bench(teacher, cfg, eval_blocks, log):
     prompts = [list(map(int, b[:64])) for b in eval_blocks[:16]]
     max_new = min(256, SEQ - 64 - 2)  # fit the engine's max_len
     res = {}
-    for mode in ("plain", "ng2", "ng3"):
-        kw = {} if mode == "plain" else dict(
-            spec_decode=True, spec_k=4, spec_ngram=int(mode[-1]))
+    variants = [("plain", None, None), ("ng2", 2, 4), ("ng3", 3, 4),
+                ("ng3k8", 3, 8)]
+    for mode, ng, k in variants:
+        kw = {} if ng is None else dict(
+            spec_decode=True, spec_k=k, spec_ngram=ng)
         eng = Engine(teacher, cfg, max_slots=16, max_len=SEQ,
                      sampling=SamplingParams(temperature=0.0),
                      eos_token_id=None, decode_horizon=16, **kw)
@@ -197,11 +199,11 @@ def spec_bench(teacher, cfg, eval_blocks, log):
         acc = eng.spec_tokens / max(eng.spec_rounds, 1)
         res[mode] = {"tok_s": toks / dt, "outs": outs, "accept": acc}
         log(f"  {mode}: {toks/dt:.0f} tok/s"
-            + (f", {acc:.2f}/5 tokens per verify round" if kw else ""))
+            + (f", {acc:.2f}/{k+1} tokens per verify round" if kw else ""))
     # bf16 forward at S=k+1 vs S=1 can flip greedy argmax TIES (batch-shape
     # numerics, same noise class as the sharded tests note) — report the
     # agreement instead of asserting exactness (the f32 CPU tests assert it)
-    for mode in ("ng2", "ng3"):
+    for mode, ng, k in variants[1:]:
         same = sum(a == b for a, b in zip(res[mode]["outs"],
                                           res["plain"]["outs"]))
         log(f"  {mode} greedy agreement: {same}/{len(prompts)} sequences "
