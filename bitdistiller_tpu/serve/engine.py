@@ -50,6 +50,11 @@ class Request:
     # called once when the request finishes (online serving wakes the
     # waiting HTTP handler here)
     on_finish: Optional[Callable[["Request"], None]] = None
+    # host-side stop predicate, called after each emitted token with the
+    # output so far; True finishes the request with reason "stop". The HTTP
+    # frontend uses this for multi-token stop STRINGS (decode the tail and
+    # substring-match — token-id equality can't express them)
+    stop_check: Optional[Callable[[list], bool]] = None
     # opt-in prompt caching: store this prompt's prefill KV (device memory!)
     # so later requests with the SAME prompt skip prefill entirely. Needs
     # Engine(prompt_cache_size > 0). Identical prompts inside one admission
@@ -127,9 +132,12 @@ class Engine:
         # Stored raw (pre-quantization): _insert requantizes for int8 caches.
         import collections
 
-        # a byte budget alone also enables caching (count cap defaults huge)
+        # a byte budget alone also enables caching; the entry cap stays
+        # modest (not unbounded) because admission's prefix lookup scans
+        # entries — a byte budget full of tiny entries must not turn every
+        # cache miss into an O(entries x prompt_len) walk
         if prompt_cache_bytes is not None and prompt_cache_size == 0:
-            prompt_cache_size = 1 << 30
+            prompt_cache_size = 512
         self.prompt_cache_size = prompt_cache_size
         # optional HBM budget for the cache (entries are real device
         # buffers: a 512-token 7B entry is ~270 MB) — evicts LRU past it
@@ -310,8 +318,22 @@ class Engine:
         history = history.at[slot_idx].set(
             jnp.concatenate([hist_rows[:, 1:], firsts[:, None]], axis=1)
         )
-        return (firsts, prev_tokens, temps, top_ks, top_ps, rep_pens,
-                cur_tokens, lengths_dev, active_dev, history)
+        return (self._replicated(firsts), prev_tokens, temps, top_ks, top_ps,
+                rep_pens, cur_tokens, lengths_dev, active_dev, history)
+
+    @staticmethod
+    def _replicated(x):
+        """Pin a to-be-host-fetched output to a fully-replicated layout.
+        Multi-process serving runs the same engine loop on every host over
+        one global mesh; a dp-sharded token output would span non-addressable
+        devices and jax.device_get would fail. The constraint makes XLA
+        insert the (tiny, [steps, B]-int32) all-gather inside the step.
+        Single-process: identity."""
+        if jax.process_count() == 1:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P())
 
     def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key,
                      samp, steps=1, custom=False):
@@ -341,7 +363,7 @@ class Engine:
         )
         # the advanced key comes back as an output: the host never needs a
         # per-round jax.random.split dispatch
-        return toks, cache, prev_tokens, key  # toks: [steps, B]
+        return self._replicated(toks), cache, prev_tokens, key  # toks: [steps, B]
 
     @staticmethod
     def ngram_draft(hist: jnp.ndarray, k: int, ngram: int) -> jnp.ndarray:
@@ -418,7 +440,8 @@ class Engine:
                 None, length=steps,
             )
         )
-        return toks, counts, tokens, cache, pos, prev_tokens, history, key
+        return (self._replicated(toks), self._replicated(counts), tokens,
+                cache, pos, prev_tokens, history, key)
 
     # -- host scheduling ----------------------------------------------------
 
@@ -536,6 +559,10 @@ class Engine:
 
         hits: dict[int, tuple] = {}
         if self.prompt_cache_size:
+            # longest-first candidate order, computed once per group: the
+            # first prefix match IS the longest, so each miss stops early
+            # instead of scanning every entry (admission hot path)
+            cands = sorted(self._prompt_cache, key=len, reverse=True)
             for i, k in enumerate(keys):
                 e = self._prompt_cache.get(k)
                 if e is not None:
@@ -544,10 +571,10 @@ class Engine:
                     continue
                 # longest cached PROPER PREFIX: prefill only the tail
                 best = None
-                for ck in self._prompt_cache:
-                    if (len(ck) < len(k) and k[: len(ck)] == ck
-                            and (best is None or len(ck) > len(best))):
+                for ck in cands:
+                    if len(ck) < len(k) and k[: len(ck)] == ck:
                         best = ck
+                        break
                 if best is not None:
                     ekv, _el, pl = self._prompt_cache[best]
                     tb = next(b for b in self.tail_buckets if b >= len(k) - pl)
@@ -678,7 +705,12 @@ class Engine:
             self.active[slot] = True
         return firsts
 
-    def _emit(self, slot: int, token: int):
+    def _emit(self, slot: int, token: int, cache_len: int | None = None):
+        """cache_len: cache rows used when THIS token was produced — the
+        horizon emit loops pass the per-token value (the mirror already
+        holds the whole horizon's advance; using it for every token would
+        make the emission count near max_len depend on horizon batching,
+        i.e. plain vs spec engines would truncate differently)."""
         req = self.slot_req[slot]
         req.output_tokens.append(token)
         if req.stream:
@@ -686,8 +718,10 @@ class Engine:
         stopped = (self.eos is not None and token == self.eos) or (
             token in req.stop_token_ids
         )
+        if not stopped and req.stop_check is not None:
+            stopped = bool(req.stop_check(req.output_tokens))
         done = stopped or len(req.output_tokens) >= req.max_new_tokens
-        if self.lengths[slot] + 1 >= self.max_len:
+        if (self.lengths[slot] if cache_len is None else cache_len) + 1 >= self.max_len:
             done = True
         if done:
             req.finished = True
@@ -740,8 +774,15 @@ class Engine:
         one when drafts never land (measured ~20% E2E on a structureless
         workload), so regime re-checks stay cheap."""
         # custom per-slot sampling falls back to the plain scan (the spec
-        # verify samples all positions with the UNIFORM engine params)
-        if not self.spec_decode or bool(self._slot_custom.any()):
+        # verify samples all positions with the UNIFORM engine params), as
+        # does a non-unit ENGINE-default repetition penalty: the verify round
+        # applies the round-start penalty window to all k+1 positions, which
+        # is exact only at repetition_penalty == 1.0
+        if (
+            not self.spec_decode
+            or bool(self._slot_custom.any())
+            or self.sampling.repetition_penalty != 1.0
+        ):
             return False, False
         if self._spec_ema is not None and self._spec_ema < self.spec_min_accept:
             # acceptance too low to pay for the verify forward: plain scan,
@@ -910,6 +951,12 @@ class Engine:
                 # (every round yields >= 1 token). Decided ONCE here and
                 # passed to the dispatch below.
                 spec_now, spec_probe = self._spec_active()
+                # a spec round writes k+1 cache rows even at steps=1: with
+                # headroom below that, forward's dynamic_update_slice write
+                # start would clamp to T-S and overwrite attended history
+                # below pos — force the plain scan for the round instead
+                if spec_now and headroom < self.spec_k + 1:
+                    spec_now = False
                 tpr = (self.spec_k + 1) if spec_now else 1
                 # at high acceptance a slot's whole budget completes in
                 # max_rem/ema rounds — rounds past that are pure masked
@@ -991,12 +1038,13 @@ class Engine:
                     # masked on slot reuse by the per-slot start position)
                     continue
                 emitted = 0
+                start_len = int(self.lengths[i])
                 if counts_np is None:  # plain scan: one token per round
                     self.lengths[i] += steps
                     n_round = steps
                     for h in range(steps):
                         emitted += 1
-                        self._emit(i, int(toks_np[h, i]))
+                        self._emit(i, int(toks_np[h, i]), start_len + h + 1)
                         if req.finished:
                             break
                 else:  # spec decode: counts_np[h, i] tokens per round
@@ -1005,7 +1053,9 @@ class Engine:
                     for h in range(steps):
                         for j in range(int(counts_np[h, i])):
                             emitted += 1
-                            self._emit(i, int(toks_np[h, i, j]))
+                            self._emit(
+                                i, int(toks_np[h, i, j]), start_len + emitted
+                            )
                             if req.finished:
                                 break
                         if req.finished:

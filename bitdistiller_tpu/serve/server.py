@@ -45,6 +45,7 @@ class ServingFrontend:
         self.engine = engine
         self.tok = tokenizer
         self.template = template  # chat-message rendering (utils/prompts)
+        self.timeout_s = 600.0  # per-request generation timeout
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
         frontend = self
@@ -107,7 +108,7 @@ class ServingFrontend:
                 evt = threading.Event()
                 req.on_finish = lambda _r: evt.set()
                 frontend.queue.put(req)
-                if not evt.wait(timeout=600):
+                if not evt.wait(timeout=frontend.timeout_s):
                     return self._json(504, {"error": "generation timed out"})
                 self._json(200, {
                     "text": frontend.tok.decode(req.output_tokens),
@@ -122,10 +123,11 @@ class ServingFrontend:
                 """OpenAI-compatible surface: /v1/completions and
                 /v1/chat/completions (point existing SDK clients at the
                 engine). Sampling keys map 1:1; `max_tokens` ->
-                max_new_tokens; chat messages render through the serve
-                template; `stop` strings are encoded and matched as token
-                ids when they tokenize to one token (multi-token stop
-                strings are not supported — documented limitation)."""
+                max_new_tokens; chat messages render in order through the
+                template's multi-turn form (utils.prompts.render_chat);
+                `stop` strings that tokenize to one token match as token
+                ids, longer ones match host-side against the decoded tail
+                at emit time and are cut from the returned text."""
                 try:
                     mapped = {
                         k: body[k] for k in _SAMPLING_KEYS if k in body
@@ -134,23 +136,23 @@ class ServingFrontend:
                     stops = body.get("stop") or []
                     if isinstance(stops, str):
                         stops = [stops]
-                    stop_ids = []
+                    stop_ids, stop_strs = [], []
                     for s in stops:
                         ids = frontend.tok.encode(s)
                         if len(ids) == 1:
                             stop_ids.append(int(ids[0]))
+                        else:
+                            stop_strs.append(s)
                     mapped["stop_token_ids"] = stop_ids
                     if chat:
-                        msgs = body["messages"]
-                        sys_txt = "\n".join(m["content"] for m in msgs
-                                            if m["role"] == "system")
-                        user = "\n".join(m["content"] for m in msgs
-                                         if m["role"] != "system")
-                        mapped["prompt"] = (sys_txt + "\n" + user).strip()
-                        mapped["template"] = frontend.template
+                        mapped["rendered_prompt"] = frontend._render_chat(
+                            body["messages"]
+                        )
                     else:
                         mapped["prompt"] = body["prompt"]
                     req = frontend._build_request(mapped)
+                    if stop_strs:
+                        req.stop_check = frontend._make_stop_check(stop_strs)
                 except Exception as e:
                     return self._json(400, {"error": str(e)})
                 obj = "chat.completion" if chat else "text_completion"
@@ -159,9 +161,14 @@ class ServingFrontend:
                 evt = threading.Event()
                 req.on_finish = lambda _r: evt.set()
                 frontend.queue.put(req)
-                if not evt.wait(timeout=600):
+                if not evt.wait(timeout=frontend.timeout_s):
                     return self._json(504, {"error": "generation timed out"})
                 text = frontend.tok.decode(req.output_tokens)
+                # OpenAI semantics: the matched stop string is excluded
+                for s in stop_strs:
+                    cut = text.find(s)
+                    if cut >= 0:
+                        text = text[:cut]
                 choice = {"index": 0, "finish_reason": req.finish_reason}
                 if chat:
                     choice["message"] = {"role": "assistant", "content": text}
@@ -192,7 +199,24 @@ class ServingFrontend:
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 while True:
-                    t = tokens.get(timeout=600)
+                    try:
+                        t = tokens.get(timeout=frontend.timeout_s)
+                    except queue.Empty:
+                        # never leave the client hanging without a
+                        # terminator: emit an error event, then close
+                        if openai_chat is None:
+                            payload = {"done": True, "error": "timeout",
+                                       "finish_reason": "error"}
+                            self.wfile.write(
+                                f"data: {json.dumps(payload)}\n\n".encode()
+                            )
+                        else:
+                            self.wfile.write(
+                                b'data: {"error": "timeout"}\n\n'
+                                b"data: [DONE]\n\n"
+                            )
+                        self.wfile.flush()
+                        return
                     if openai_chat is None:  # native /generate SSE shape
                         if t is None:
                             payload = {"done": True,
@@ -222,9 +246,30 @@ class ServingFrontend:
         self.httpd.daemon_threads = True
         self.address = self.httpd.server_address  # resolved port when port=0
 
+    def _render_chat(self, messages: list) -> str:
+        from ..utils.prompts import render_chat
+
+        return render_chat(self.template, messages)
+
+    def _make_stop_check(self, stop_strs: list):
+        """Host-side multi-token stop matching: decode only the output tail
+        (longest stop + slack for multi-token characters) after each emitted
+        token and substring-match. The matched text is cut from the final
+        response; already-streamed SSE pieces are not retracted."""
+        tail = max(len(s) for s in stop_strs) + 8
+        tok = self.tok
+
+        def check(output_tokens: list) -> bool:
+            text = tok.decode(output_tokens[-tail:])
+            return any(s in text for s in stop_strs)
+
+        return check
+
     def _build_request(self, body: dict) -> Request:
         if "prompt_tokens" in body:
             toks = [int(t) for t in body["prompt_tokens"]]
+        elif "rendered_prompt" in body:  # chat endpoint: already templated
+            toks = self.tok.encode(body["rendered_prompt"])
         else:
             prompt = body["prompt"]
             if body.get("template"):

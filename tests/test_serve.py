@@ -616,6 +616,48 @@ def test_spec_decode_sampled_runs():
     assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
 
 
+def test_spec_decode_near_max_len_matches_plain():
+    """A spec round writes k+1 cache rows; slots whose cache headroom drops
+    under k+1 must fall back to the plain scan for the round — otherwise the
+    clamped dynamic_update_slice overwrites attended history and the tail of
+    the generation goes wrong (regression test for that corruption)."""
+    cfg, params = _f32_pair()
+    # periodic prompt -> high acceptance -> spec stays on right up to the cap
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6, 7]
+    max_len = 48
+    base = Engine(params, cfg, max_slots=2, max_len=max_len,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    want = base.generate([prompt], max_new_tokens=max_len)[0]
+    spec = Engine(params, cfg, max_slots=2, max_len=max_len,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32, spec_decode=True, spec_k=4)
+    r = Request(prompt_tokens=prompt, max_new_tokens=max_len)
+    spec.run([r])
+    assert spec.spec_tokens > spec.spec_rounds  # spec actually engaged
+    assert r.finish_reason == "length"
+    assert r.output_tokens == want
+
+
+def test_spec_decode_rep_penalty_falls_back_to_plain():
+    """A non-unit ENGINE-default repetition penalty makes the spec verify
+    round inexact (all k+1 positions share the round-start penalty window),
+    so _spec_active must force the plain scan: outputs equal the plain
+    engine exactly and no verify round is ever dispatched."""
+    cfg, params = _f32_pair()
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.3)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9]]
+    base = Engine(params, cfg, max_slots=2, max_len=128, sampling=sp,
+                  eos_token_id=None, cache_dtype=jnp.float32)
+    want = base.generate(prompts, max_new_tokens=16)
+    spec = Engine(params, cfg, max_slots=2, max_len=128, sampling=sp,
+                  eos_token_id=None, cache_dtype=jnp.float32,
+                  spec_decode=True, spec_k=4)
+    got = spec.generate(prompts, max_new_tokens=16)
+    assert got == want
+    assert spec.spec_rounds == 0  # never dispatched a verify round
+
+
 def test_ngram_draft_exact_followers():
     """The draft must be the tokens IMMEDIATELY following the last earlier
     occurrence of the trailing gram (an off-by-one here silently degrades

@@ -246,3 +246,117 @@ def _post_path(url, path, body):
         {"Content-Type": "application/json"},
     )
     return json.load(urllib.request.urlopen(req, timeout=120))
+
+
+def test_render_chat_multiturn_forms():
+    """Multi-turn message lists render each family's dialogue format in
+    order — assistant history carries its role markers (never folded into
+    the user block)."""
+    from bitdistiller_tpu.utils.prompts import render_chat
+
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello!"},
+        {"role": "user", "content": "how are you?"},
+    ]
+    chatml = render_chat("chatml", msgs)
+    assert chatml == (
+        "<|im_start|>system\nbe brief<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello!<|im_end|>\n"
+        "<|im_start|>user\nhow are you?<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+    llama2 = render_chat("llama2", msgs)
+    assert llama2 == (
+        "[INST] <<SYS>>\nbe brief\n<</SYS>>\n\nhi [/INST] hello! </s>"
+        "<s>[INST] how are you? [/INST]"
+    )
+    vic = render_chat("vicuna", msgs)
+    assert vic == (
+        "be brief USER: hi ASSISTANT: hello!</s> USER: how are you? ASSISTANT:"
+    )
+    fal = render_chat("falcon", msgs)
+    assert fal == "be brief\nUser: hi\nAssistant: hello!\nUser: how are you?\nAssistant:"
+    raw = render_chat("raw", msgs)
+    assert "assistant: hello!" in raw and raw.endswith("assistant:")
+    # single user turn keeps the plain single-turn form
+    single = [{"role": "user", "content": "hi"}]
+    assert render_chat("llama2", single) == "[INST] hi [/INST]"
+    assert render_chat("raw", single) == "hi"
+
+
+def test_openai_chat_multiturn_endpoint(frontend):
+    """The chat endpoint renders the FULL message list through the template
+    layer: the engine-side prompt equals render_chat's output, and assistant
+    history is present with role markers."""
+    front, url, *_ = frontend
+    front.template = "chatml"
+    seen = []
+    orig_encode = front.tok.encode
+    front.tok = type(front.tok)()
+    front.tok.encode = lambda s: (seen.append(s), orig_encode(s))[1]
+    try:
+        msgs = [
+            {"role": "system", "content": "sys"},
+            {"role": "user", "content": "q1"},
+            {"role": "assistant", "content": "a1"},
+            {"role": "user", "content": "q2"},
+        ]
+        out = _post_path(url, "/v1/chat/completions",
+                         {"messages": msgs, "max_tokens": 2,
+                          "temperature": 0.0})
+        assert out["choices"][0]["message"]["content"]
+        from bitdistiller_tpu.utils.prompts import render_chat
+
+        assert seen and seen[0] == render_chat("chatml", msgs)
+        assert "<|im_start|>assistant\na1<|im_end|>" in seen[0]
+    finally:
+        front.template = "raw"
+
+
+def test_openai_multi_token_stop_string(frontend):
+    """Stop strings longer than one token match host-side at emit: the
+    generation ends with reason 'stop' and the returned text excludes the
+    stop string (OpenAI semantics)."""
+    front, url, *_ = frontend
+    base = _post_path(url, "/v1/completions", {
+        "prompt": "hello", "max_tokens": 12, "temperature": 0.0})
+    full = base["choices"][0]["text"]
+    assert len(full) == 12
+    stop = full[5:7]  # 2 chars = 2 tokens under CharTok
+    out = _post_path(url, "/v1/completions", {
+        "prompt": "hello", "max_tokens": 12, "temperature": 0.0,
+        "stop": stop})
+    assert out["choices"][0]["finish_reason"] == "stop"
+    got = out["choices"][0]["text"]
+    assert got == full[: full.find(stop)]
+    assert stop not in got
+
+
+def test_sse_timeout_sends_terminator():
+    """An SSE stream whose engine never produces tokens must still end with
+    a terminator (the old code raised queue.Empty and hung the client)."""
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0))
+    eng = Engine(params, cfg, max_slots=2, max_len=64, eos_token_id=None)
+    front = ServingFrontend(eng, CharTok(), port=0)
+    front.timeout_s = 0.3
+    # HTTP only — the engine loop is never started, so no tokens ever come
+    t = threading.Thread(target=front.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = front.address
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/completions",
+            json.dumps({"prompt": "hi", "max_tokens": 3,
+                        "stream": True}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        lines = [l for l in urllib.request.urlopen(req, timeout=30) if l.strip()]
+        assert lines[-2].strip() == b'data: {"error": "timeout"}'
+        assert lines[-1].strip() == b"data: [DONE]"
+    finally:
+        front.httpd.shutdown()
+        t.join(timeout=30)
