@@ -43,7 +43,7 @@ def _blocks_from_lines(lines, tokenizer, n_samples: int, block_size: int,
 
 
 def _hf_pile(tokenizer, n_samples, block_size):
-    from datasets import load_dataset
+    from .offline import load_dataset
 
     ds = load_dataset("mit-han-lab/pile-val-backup", split="validation")
     ds = ds.shuffle(seed=42)
@@ -51,7 +51,7 @@ def _hf_pile(tokenizer, n_samples, block_size):
 
 
 def _hf_code(tokenizer, n_samples, block_size):
-    from datasets import load_dataset
+    from .offline import load_dataset
 
     ds = load_dataset("nickrosh/Evol-Instruct-Code-80k-v1", split="train").shuffle(seed=42)
     lines = (f"Instruction:\n{d['instruction']}\nOutput:\n{d['output']}" for d in ds)
@@ -60,7 +60,7 @@ def _hf_code(tokenizer, n_samples, block_size):
 
 def _hf_nemotron(split):
     def load(tokenizer, n_samples, block_size):
-        from datasets import load_dataset
+        from .offline import load_dataset
 
         ds = load_dataset("nvidia/Llama-Nemotron-Post-Training-Dataset", "SFT", split=split)
         lines = (f"{d['input'][0]['content']}\n\n{d['output']}" for d in ds)
@@ -70,7 +70,7 @@ def _hf_nemotron(split):
 
 
 def _hf_epicoder(tokenizer, n_samples, block_size):
-    from datasets import load_dataset
+    from .offline import load_dataset
 
     ds = load_dataset("microsoft/EpiCoder-func-380k", split="train")
     lines = (f"{d['instruction']}\n\n<think></think>\n{d['output']}" for d in ds)

@@ -81,7 +81,7 @@ def load_wikitext2_test(tokenizer, split: str = "test") -> np.ndarray:
     Requires network/HF cache; offline callers should pass pre-tokenized
     blocks to `perplexity` directly.
     """
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     data = load_dataset("wikitext", "wikitext-2-raw-v1", split=split)
     text = "\n\n".join(data["text"])

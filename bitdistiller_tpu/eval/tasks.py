@@ -104,7 +104,7 @@ TaskLoader = Callable[..., list]
 
 
 def _hellaswag_docs(split="validation"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     def preprocess(text):
         text = text.strip().replace(" [title]", ". ")
@@ -125,7 +125,7 @@ def _hellaswag_docs(split="validation"):
 
 
 def _piqa_docs(split="validation"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("piqa", split=split)
     return [
@@ -139,7 +139,7 @@ def _piqa_docs(split="validation"):
 
 
 def _arc_docs(subset, split="test"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("ai2_arc", subset, split=split)
     docs = []
@@ -158,7 +158,7 @@ def _arc_docs(subset, split="test"):
 
 
 def _winogrande_docs(split="validation"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("winogrande", "winogrande_xl", split=split)
     docs = []
@@ -175,7 +175,7 @@ def _winogrande_docs(split="validation"):
 
 
 def _boolq_docs(split="validation"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("super_glue", "boolq", split=split)
     return [
@@ -189,7 +189,7 @@ def _boolq_docs(split="validation"):
 
 
 def _openbookqa_docs(split="test"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("openbookqa", "main", split=split)
     docs = []
@@ -206,7 +206,7 @@ def _openbookqa_docs(split="test"):
 
 
 def _sciq_docs(split="test"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("sciq", split=split)
     docs = []
@@ -220,7 +220,7 @@ def _sciq_docs(split="test"):
 
 
 def _copa_docs(split="validation"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("super_glue", "copa", split=split)
 
@@ -251,7 +251,7 @@ class ClozeDoc:
 
 
 def _lambada_docs(split="test"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     ds = load_dataset("EleutherAI/lambada_openai", "en", split=split)
     docs = []
@@ -302,7 +302,7 @@ MMLU_SUBJECTS = [
 
 def _mmlu_docs(subject: str, n_shot: int = 5):
     """hendrycksTest-style 5-shot prompts (dev split as exemplars)."""
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     letters = ["A", "B", "C", "D"]
 

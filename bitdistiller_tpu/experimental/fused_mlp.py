@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.packing import PackedLinear
-from .quant_matmul import _BF16_TRICK, _dequant_block_bf16
+from ..ops.quant_matmul import _BF16_TRICK, _dequant_block_bf16
 
 
 def _packed_matmul_acc(x_ref, qw_ref, s_ref, sz_ref, row0, group0,

@@ -35,7 +35,7 @@ PROMPT_STYLES = {
 
 
 def _hub(name, split="train"):
-    from datasets import load_dataset
+    from ..data.offline import load_dataset
 
     return load_dataset(name, split=split)
 

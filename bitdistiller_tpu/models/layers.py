@@ -25,9 +25,72 @@ from ..quant.packing import PackedLinear
 Quantizer = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
 
 
-def linear(params, x: jnp.ndarray, quantizer: Quantizer = None) -> jnp.ndarray:
+def _ring_tp_size() -> int:
+    """tp axis size when the overlapped ring TP path should engage:
+    BITDISTILLER_RING_TP=1 AND an ambient mesh (jax.set_mesh) with a
+    tp axis of size > 1. 0 otherwise."""
+    import os
+
+    if os.environ.get("BITDISTILLER_RING_TP") != "1":
+        return 0
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or "tp" not in getattr(mesh, "axis_names", ()):
+        return 0
+    return int(mesh.shape["tp"])
+
+
+def ring_linear(p: PackedLinear, x: jnp.ndarray, tp: int) -> jnp.ndarray:
+    """Row-parallel packed matmul with the all-reduce folded into a ring of
+    chunk matmuls (parallel/overlap.py): each ppermute hop overlaps the next
+    N-chunk's dequant-matmul, instead of one big psum serializing after the
+    full matmul. Env-gated alternative to XLA's collective scheduling for
+    the two row-parallel linears (o_proj, down_proj) of a TP-sharded packed
+    model — the mechanism behind BASELINE's >=85% multi-host decode scaling
+    target, measurable per-pod via BITDISTILLER_RING_TP=1."""
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.overlap import ring_all_reduce_matmul
+
+    mesh = jax.sharding.get_abstract_mesh()
+    pack = 32 // p.bits
+    if (
+        p.bias is not None  # ring partials would add the bias tp times
+        or p.qweight.shape[0] % tp
+        or p.scales.shape[0] % tp
+        or p.out_features % tp
+    ):
+        return quant_matmul(x, p)
+    k_local = p.in_features // tp
+    wspec = dataclasses.replace(
+        p,
+        qweight=P("tp", None), scales=P("tp", None), szeros=P("tp", None),
+        combo=None if p.combo is None else P("tp", None),
+        bias=None,
+    )
+
+    def body(xl, wl):
+        wl = dataclasses.replace(wl, in_features=k_local)
+        return ring_all_reduce_matmul(xl, wl, "tp")
+
+    x2 = x.reshape(-1, x.shape[-1])
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P(None, "tp"), wspec),
+        out_specs=P(None, None), check_rep=False,
+    )(x2, p)
+    return out.reshape(*x.shape[:-1], p.out_features)
+
+
+def linear(params, x: jnp.ndarray, quantizer: Quantizer = None,
+           row_parallel: bool = False) -> jnp.ndarray:
     """Apply a linear layer in whichever representation the params carry."""
     if isinstance(params, PackedLinear):
+        if row_parallel:
+            tp = _ring_tp_size()
+            if tp > 1:
+                return ring_linear(params, x, tp)
         return quant_matmul(x, params)
     w = params["w"]
     if quantizer is not None:

@@ -178,7 +178,13 @@ def _block(
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
-    lin = linear_fn or (lambda _name, leaf, x: linear(leaf, x, quantizer))
+    # o/down are the row-parallel linears under TP: their packed matmuls may
+    # route through the env-gated ring collective-matmul (layers.ring_linear)
+    lin = linear_fn or (
+        lambda name, leaf, x: linear(
+            leaf, x, quantizer, row_parallel=name in ("o", "down")
+        )
+    )
 
     x = apply_norm(lp["input_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if "qkv" in lp:
@@ -207,7 +213,7 @@ def _block(
         # after the scan by `forward`.
         ck, cv, ks, vs = cache_kv
         if flash_args is not None:  # flash kernel reads bf16 caches only
-            from ..ops.flash_decode import flash_decode_attention
+            from ..experimental.flash_decode import flash_decode_attention
 
             start, window = flash_args
             attn = flash_decode_attention(
@@ -284,7 +290,7 @@ def forward(
     cache_pos may be a vector of per-sequence positions (continuous batching:
     every slot decodes at its own length). Single-token decode on TPU routes
     attention through the Pallas flash-decode kernel (online softmax over the
-    head-major cache, ops/flash_decode.py); everything else uses the XLA
+    head-major cache, experimental/flash_decode.py); everything else uses the XLA
     two-piece attention.
 
     attn_len (static) bounds the cache READ window via the flash-decode
@@ -399,7 +405,7 @@ def forward(
         jnp.asarray(cfg.sliding_layers, bool) if per_layer_sliding else None
     )
 
-    # Pallas flash-decode path (ops/flash_decode.py): S=1, uniform layer
+    # Pallas flash-decode path (experimental/flash_decode.py): S=1, uniform layer
     # mode, no ALiBi bias, no engine kv_valid override. At the FULL window
     # the XLA two-piece attention measures faster on v5e (633 GB/s vs 582 at
     # T=2048 — BENCH notes r2), so plain decode defaults to XLA. attn_len

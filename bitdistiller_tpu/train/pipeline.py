@@ -23,7 +23,7 @@ from ..parallel.distributed import (
     init_distributed,
     make_hybrid_mesh,
 )
-from ..parallel.mesh import make_mesh, param_specs_from_params, shard_params
+from ..parallel.mesh import param_specs_from_params, shard_params
 from ..quant.autoclip import apply_clip_cache, load_clip_cache
 from .data import Collator, SupervisedDataset, data_loader
 from .trainer import (
@@ -149,10 +149,10 @@ def run_training(args, *, tokenizer=None, model=None) -> dict:
         remat_policy=getattr(args, "remat_policy", "full"),
     )
 
-    if jax.process_count() > 1:
-        mesh = make_hybrid_mesh(tp=args.tp, dp=args.dp)
-    else:
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+    # one mesh path for every topology: single-process this is a plain
+    # (dp, tp) reshape; multi-process it keeps tp inside a host's ICI domain
+    # and spans dp over DCN (make_hybrid_mesh docstring)
+    mesh = make_hybrid_mesh(tp=args.tp or 1, dp=args.dp)
     # ZeRO parity (train/config/zero.json, zero3.json): stage >= 2 shards the
     # Adam moments over dp; stage 3 additionally fsdp-shards the params
     # themselves (XLA all-gathers weights per layer during the forward).

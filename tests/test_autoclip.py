@@ -18,6 +18,13 @@ from bitdistiller_tpu.quant.autoclip import (
 )
 from bitdistiller_tpu.quant import fake_quant_int
 
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
+
 
 def quant_mse(w_kn, feat, bmax=None, bmin=None, g=64):
     w = jnp.asarray(w_kn)

@@ -14,6 +14,13 @@ from bitdistiller_tpu.cli import main
 from bitdistiller_tpu.models import TINY_TEST, init_params
 from bitdistiller_tpu.models.hf_import import save_hf_checkpoint
 
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def model_dir(tmp_path_factory):

@@ -9,6 +9,13 @@ import pytest
 from bitdistiller_tpu.models import ModelConfig, forward, init_params
 from bitdistiller_tpu.models.hf_import import load_hf_checkpoint
 
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
+
 
 def test_phi3_fused_import(tmp_path):
     from safetensors.numpy import save_file

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from bitdistiller_tpu.ops.fused_mlp import fused_mlp
+from bitdistiller_tpu.experimental.fused_mlp import fused_mlp
 from bitdistiller_tpu.ops.quant_matmul import quant_matmul_pallas, quant_matmul_xla
 from bitdistiller_tpu.quant.packing import PackedLinear, pack_codes
 
@@ -170,7 +170,7 @@ def test_qmm_k_remainder_split():
 
 
 # ---------------------------------------------------------------------------
-# Flash-decode attention (ops/flash_decode.py vs the XLA two-piece path)
+# Flash-decode attention (experimental/flash_decode.py vs the XLA two-piece path)
 # ---------------------------------------------------------------------------
 
 
@@ -194,7 +194,7 @@ def _flash_ref(q, ck, cv, k_new, v_new, start, window=None):
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2), (4, 1)])
 def test_flash_decode_matches_xla(hq, hkv):
-    from bitdistiller_tpu.ops.flash_decode import flash_decode_attention
+    from bitdistiller_tpu.experimental.flash_decode import flash_decode_attention
 
     b, t, d = 3, 64, 128
     keys = jax.random.split(jax.random.key(0), 6)
@@ -211,7 +211,7 @@ def test_flash_decode_matches_xla(hq, hkv):
 
 
 def test_flash_decode_sliding_window():
-    from bitdistiller_tpu.ops.flash_decode import flash_decode_attention
+    from bitdistiller_tpu.experimental.flash_decode import flash_decode_attention
 
     b, t, d, hq = 2, 64, 128, 4
     keys = jax.random.split(jax.random.key(1), 6)
@@ -255,7 +255,7 @@ def test_forward_flash_flag_matches_xla_path():
 def test_flash_decode_attn_len_bounds_grid():
     """attn_len (the engine's length bucket) must not change results as long
     as every start < attn_len — blocks past the bucket are never read."""
-    from bitdistiller_tpu.ops.flash_decode import flash_decode_attention
+    from bitdistiller_tpu.experimental.flash_decode import flash_decode_attention
 
     b, t, d, hq, hkv = 3, 128, 128, 8, 2
     keys = jax.random.split(jax.random.key(2), 6)

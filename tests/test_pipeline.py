@@ -13,10 +13,18 @@ import pytest
 from bitdistiller_tpu.models import TINY_TEST, forward, init_params
 from bitdistiller_tpu.models.hf_import import load_hf_checkpoint, save_hf_checkpoint
 from bitdistiller_tpu.models.quantized import (
+
     load_packed_checkpoint,
     pack_model,
     save_packed_checkpoint,
 )
+
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
 
 
 class FakeTok:

@@ -14,6 +14,12 @@ from bitdistiller_tpu.serve.sampling import (
     sample_tokens,
 )
 
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
 
 def test_greedy_sampling():
     logits = jnp.asarray([[1.0, 5.0, 2.0], [0.0, -1.0, 3.0]])

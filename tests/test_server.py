@@ -14,6 +14,13 @@ from bitdistiller_tpu.models import TINY_TEST, forward, init_params
 from bitdistiller_tpu.serve import Engine, SamplingParams
 from bitdistiller_tpu.serve.server import ServingFrontend
 
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
+
 
 class CharTok:
     def encode(self, s):

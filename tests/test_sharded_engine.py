@@ -15,6 +15,13 @@ from bitdistiller_tpu.models.quantized import pack_model
 from bitdistiller_tpu.parallel.mesh import kv_cache_specs, make_mesh, shard_packed_model
 from bitdistiller_tpu.serve import Engine, SamplingParams
 
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
+
 
 def test_sharded_engine_matches_unsharded():
     # f32 compute: bf16 reduction-order differences across shardings can flip

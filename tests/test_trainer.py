@@ -8,6 +8,7 @@ import pytest
 
 from bitdistiller_tpu.models import TINY_TEST, forward, init_params
 from bitdistiller_tpu.train import (
+
     Collator,
     SupervisedDataset,
     TrainConfig,
@@ -16,6 +17,13 @@ from bitdistiller_tpu.train import (
     init_train_state,
     make_train_step,
 )
+
+# Integration tier: this whole module is `-m slow` (many multi-second
+# XLA CPU compiles). The default `-m 'not slow'` tier keeps the unit /
+# parity / kernel tests for a minutes-scale pre-commit run; run the
+# full suite (no -m filter) before shipping engine/trainer changes.
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")
