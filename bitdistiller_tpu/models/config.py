@@ -16,6 +16,9 @@ from typing import Optional
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
+    # HF family tag ("llama", "falcon", "mpt", "opt", "bloom", ...): set by
+    # from_hf_config; exporters use it to emit family-correct tensor names
+    model_type: str = "llama"
     vocab_size: int = 32000
     hidden_size: int = 4096
     intermediate_size: int = 11008
@@ -136,6 +139,14 @@ class ModelConfig:
 
     @staticmethod
     def from_hf_config(cfg: dict) -> "ModelConfig":
+        mc = ModelConfig._from_hf_config_inner(cfg)
+        mt = cfg.get("model_type", "llama")
+        # legacy falcon model_type aliases
+        mt = {"RefinedWeb": "falcon", "RefinedWebModel": "falcon"}.get(mt, mt)
+        return dataclasses.replace(mc, model_type=mt)
+
+    @staticmethod
+    def _from_hf_config_inner(cfg: dict) -> "ModelConfig":
         """Build from a HF config.json dict. Covers the reference's registry
         (clip_utils.py:234-290): llama/tinyllama, qwen2/3, phi3, gemma2/3,
         falcon, mpt."""

@@ -27,6 +27,9 @@ from .config import ModelConfig
 
 # ours -> HF module path (weights transposed back to HF [N, K] orientation
 # happens implicitly: GPTQ's qweight is [K/pack, N], i.e. K-major like ours)
+# per family; families whose HF layout fuses q/k/v carry a ("__qkv__", path)
+# entry instead — export re-fuses our split heads in the family layout
+# (the exact inverse of hf_import's split).
 _GPTQ_LAYER_MAP = {
     "q": "self_attn.q_proj",
     "k": "self_attn.k_proj",
@@ -36,6 +39,80 @@ _GPTQ_LAYER_MAP = {
     "up": "mlp.up_proj",
     "down": "mlp.down_proj",
 }
+
+_FAMILY_LAYER_MAPS = {
+    "llama": _GPTQ_LAYER_MAP,
+    "falcon": {
+        "__qkv__": "self_attention.query_key_value",
+        "o": "self_attention.dense",
+        "up": "mlp.dense_h_to_4h",
+        "down": "mlp.dense_4h_to_h",
+    },
+    "bloom": {
+        "__qkv__": "self_attention.query_key_value",
+        "o": "self_attention.dense",
+        "up": "mlp.dense_h_to_4h",
+        "down": "mlp.dense_4h_to_h",
+    },
+    "mpt": {
+        "__qkv__": "attn.Wqkv",
+        "o": "attn.out_proj",
+        "up": "ffn.up_proj",
+        "down": "ffn.down_proj",
+    },
+    "opt": {
+        "q": "self_attn.q_proj",
+        "k": "self_attn.k_proj",
+        "v": "self_attn.v_proj",
+        "o": "self_attn.out_proj",
+        "up": "fc1",
+        "down": "fc2",
+    },
+}
+
+_FAMILY_LAYER_PREFIX = {
+    "llama": "model.layers", "opt": "model.decoder.layers",
+    "falcon": "transformer.h", "bloom": "transformer.h",
+    "mpt": "transformer.blocks",
+}
+
+
+def fuse_qkv_hf(cfg: ModelConfig, q_kn, k_kn, v_kn) -> np.ndarray:
+    """Re-fuse our split q/k/v [K, N*] into the family's fused HF layout,
+    returned as [K, N_fused] — the exact inverse of hf_import's split_qkv
+    (falcon grouped / per-head, bloom per-head, mpt sequential)."""
+    q = np.asarray(q_kn)
+    k = np.asarray(k_kn)
+    v = np.asarray(v_kn)
+    K = q.shape[0]
+    dh = cfg.actual_head_dim
+    hq, hkv = cfg.num_heads, cfg.num_kv_heads
+    if cfg.model_type == "mpt":
+        return np.concatenate([q, k, v], axis=1)
+    if cfg.model_type == "bloom" or (cfg.model_type == "falcon" and hkv == hq
+                                     and not cfg.parallel_mlp_norm):
+        # per-head interleave [H, 3, dh] (bloom always; falcon-rw MHA)
+        g = np.stack(
+            [q.reshape(K, hq, dh), k.reshape(K, hq, dh), v.reshape(K, hq, dh)],
+            axis=2,
+        )  # [K, H, 3, dh]
+        return g.reshape(K, hq * 3 * dh)
+    if cfg.model_type == "falcon":
+        if cfg.parallel_mlp_norm:
+            # new-arch grouped layout [hkv, q_per + 2, dh]
+            q_per = hq // hkv
+            g = np.concatenate(
+                [
+                    q.reshape(K, hkv, q_per, dh),
+                    k.reshape(K, hkv, 1, dh),
+                    v.reshape(K, hkv, 1, dh),
+                ],
+                axis=2,
+            )  # [K, hkv, q_per+2, dh]
+            return g.reshape(K, (hq + 2 * hkv) * dh)
+        # falcon MQA: plain [q heads..., k, v]
+        return np.concatenate([q, k, v], axis=1)
+    raise ValueError(f"no fused-qkv layout for family {cfg.model_type!r}")
 
 
 def pack_gptq_qweight(codes: np.ndarray, bits: int) -> np.ndarray:
@@ -67,6 +144,53 @@ def unpack_gptq_qweight(qweight: np.ndarray, bits: int) -> np.ndarray:
     return np.stack(parts, axis=1).reshape(-1, qweight.shape[1]).astype(np.int32)
 
 
+def packed_layer_to_gptq(p, li: int, bits: int, group_size: int) -> dict:
+    """One layer slice of a PackedLinear (stacked [L, ...]) -> GPTQ tensors
+    WITHOUT requantizing: unpack the pair-layout codes to k-order, recover
+    integer zero points from szeros = zeros * scales, and re-pack in GPTQ's
+    k-sequential order. Exact — the serving artifact and the GPTQ artifact
+    hold identical integer codes."""
+    from ..quant.packing import unpack_codes
+
+    qw = np.asarray(p.qweight[li])
+    scales = np.asarray(p.scales[li], np.float32)
+    szeros = np.asarray(p.szeros[li], np.float32)
+    codes = np.asarray(unpack_codes(qw, bits, group_size))  # [K, N]
+    zeros = np.rint(szeros / np.where(scales == 0, 1.0, scales)).astype(np.int32)
+    k = codes.shape[0]
+    return {
+        "qweight": pack_gptq_qweight(codes, bits),
+        "qzeros": pack_gptq_qzeros(zeros, bits),
+        "scales": scales.astype(np.float16),
+        "g_idx": (np.arange(k, dtype=np.int32) // group_size),
+    }
+
+
+def split_packed_n(p, splits: list[int]):
+    """Split a stacked fused PackedLinear along N at the given boundaries
+    (e.g. qkv -> q/k/v, gate_up -> gate/up). All per-N arrays slice
+    together; group-wise quant params are per output column, so the split
+    tensors are exactly what separate quantization would have produced."""
+    import dataclasses
+
+    outs = []
+    start = 0
+    for width in splits:
+        outs.append(
+            dataclasses.replace(
+                p,
+                qweight=p.qweight[..., start : start + width],
+                scales=p.scales[..., start : start + width],
+                szeros=p.szeros[..., start : start + width],
+                combo=None if p.combo is None else p.combo[..., start : start + width],
+                bias=None if p.bias is None else p.bias[..., start : start + width],
+                out_features=width,
+            )
+        )
+        start += width
+    return outs
+
+
 def layer_to_gptq(w_kn, bits: int, group_size: int) -> dict:
     """Our [K, N] dense weight -> the GPTQ tensor dict for one linear."""
     import jax.numpy as jnp
@@ -87,52 +211,127 @@ def layer_to_gptq(w_kn, bits: int, group_size: int) -> dict:
     }
 
 
+# family-specific non-linear tensor names: (embed, final_norm_w,
+# final_norm_b|None, input_norm, post_attn_norm)
+_FAMILY_AUX_NAMES = {
+    "llama": ("model.embed_tokens.weight", "model.norm.weight", None,
+              "input_layernorm", "post_attention_layernorm"),
+    "opt": ("model.decoder.embed_tokens.weight",
+            "model.decoder.final_layer_norm.weight",
+            "model.decoder.final_layer_norm.bias",
+            "self_attn_layer_norm", "final_layer_norm"),
+    "falcon": ("transformer.word_embeddings.weight", "transformer.ln_f.weight",
+               "transformer.ln_f.bias", "input_layernorm",
+               "post_attention_layernorm"),
+    "bloom": ("transformer.word_embeddings.weight", "transformer.ln_f.weight",
+              "transformer.ln_f.bias", "input_layernorm",
+              "post_attention_layernorm"),
+    "mpt": ("transformer.wte.weight", "transformer.norm_f.weight", None,
+            "norm_1", "norm_2"),
+}
+
+
 def export_gptq(params, cfg: ModelConfig, path: str, *, bits: int = 2,
                 group_size: int = 128) -> None:
-    """Write a GPTQ-format safetensors checkpoint + configs to `path`."""
+    """Write a GPTQ-format safetensors checkpoint + configs to `path`.
+
+    Handles every importable family (llama-likes by default; falcon / bloom /
+    mpt / opt re-fuse q/k/v in the family's HF layout), dense QAT trees
+    (RTN-quantized here, identical math to the reference converter), and
+    PACKED serving trees — including fused qkv / gate_up leaves, which are
+    split along N (exact: quant groups are per output column) and re-emitted
+    without requantization."""
     from safetensors.numpy import save_file
 
+    from ..quant.packing import PackedLinear
+
     os.makedirs(path, exist_ok=True)
+    family = cfg.model_type if cfg.model_type in _FAMILY_LAYER_MAPS else "llama"
+    layer_map = _FAMILY_LAYER_MAPS[family]
+    prefix = _FAMILY_LAYER_PREFIX[family]
+    embed_name, fnw, fnb, in_norm, post_norm = _FAMILY_AUX_NAMES[family]
+
     out: dict[str, np.ndarray] = {}
-    out["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float16)
+    out[embed_name] = np.asarray(params["embed"], np.float16)
     fn = params["final_norm"]
     if isinstance(fn, dict):
-        out["model.norm.weight"] = np.asarray(fn["w"], np.float16)
-        out["model.norm.bias"] = np.asarray(fn["b"], np.float16)
+        out[fnw] = np.asarray(fn["w"], np.float16)
+        if fnb:
+            out[fnb] = np.asarray(fn["b"], np.float16)
     else:
-        out["model.norm.weight"] = np.asarray(fn, np.float16)
+        out[fnw] = np.asarray(fn, np.float16)
     if "lm_head" in params:
         out["lm_head.weight"] = np.ascontiguousarray(
             np.asarray(params["lm_head"]["w"], np.float16).T
         )
 
-    layers = params["layers"]
+    layers = dict(params["layers"])
     L = cfg.num_layers
-    for ours, theirs in _GPTQ_LAYER_MAP.items():
+    dh, hq, hkv = cfg.actual_head_dim, cfg.num_heads, cfg.num_kv_heads
+
+    # fused PACKED leaves -> split views under the standard names
+    if "qkv" in layers and isinstance(layers["qkv"], PackedLinear):
+        q, k, v = split_packed_n(
+            layers.pop("qkv"), [hq * dh, hkv * dh, hkv * dh]
+        )
+        layers.update({"q": q, "k": k, "v": v})
+    if "gate_up" in layers and isinstance(layers["gate_up"], PackedLinear):
+        g, u = split_packed_n(
+            layers.pop("gate_up"), [cfg.intermediate_size, cfg.intermediate_size]
+        )
+        layers.update({"gate": g, "up": u})
+
+    def emit(name: str, leaf, i: int, theirs: str):
+        if isinstance(leaf, PackedLinear):
+            tensors = packed_layer_to_gptq(leaf, i, leaf.bits, leaf.group_size)
+        else:
+            w = leaf["w"] if isinstance(leaf, dict) else leaf
+            tensors = layer_to_gptq(np.asarray(w[i]), bits, group_size)
+        for tname, arr in tensors.items():
+            out[f"{prefix}.{i}.{theirs}.{tname}"] = arr
+        if isinstance(leaf, dict) and leaf.get("b") is not None:
+            out[f"{prefix}.{i}.{theirs}.bias"] = np.asarray(leaf["b"][i], np.float16)
+
+    for ours, theirs in layer_map.items():
+        if ours == "__qkv__":
+            for i in range(L):
+                fused = fuse_qkv_hf(
+                    cfg,
+                    layers["q"]["w"][i], layers["k"]["w"][i], layers["v"]["w"][i],
+                )
+                tensors = layer_to_gptq(fused, bits, group_size)
+                for tname, arr in tensors.items():
+                    out[f"{prefix}.{i}.{theirs}.{tname}"] = arr
+            continue
         if ours not in layers:
             continue
         leaf = layers[ours]
-        w = leaf["w"] if isinstance(leaf, dict) else leaf
         for i in range(L):
-            tensors = layer_to_gptq(np.asarray(w[i]), bits, group_size)
-            for name, arr in tensors.items():
-                out[f"model.layers.{i}.{theirs}.{name}"] = arr
-            if isinstance(leaf, dict) and leaf.get("b") is not None:
-                out[f"model.layers.{i}.{theirs}.bias"] = np.asarray(
-                    leaf["b"][i], np.float16
-                )
+            emit(ours, leaf, i, theirs)
     for norm_ours, norm_theirs in (
-        ("input_norm", "input_layernorm"),
-        ("post_attn_norm", "post_attention_layernorm"),
+        ("input_norm", in_norm),
+        ("post_attn_norm", post_norm),
+        ("mlp_norm", "ln_mlp"),
     ):
         if norm_ours not in layers:
             continue
         leaf = layers[norm_ours]
         arr = leaf["w"] if isinstance(leaf, dict) else leaf
         for i in range(L):
-            out[f"model.layers.{i}.{norm_theirs}.weight"] = np.asarray(
+            out[f"{prefix}.{i}.{norm_theirs}.weight"] = np.asarray(
                 arr[i], np.float16
             )
+            if isinstance(leaf, dict) and "b" in leaf:
+                out[f"{prefix}.{i}.{norm_theirs}.bias"] = np.asarray(
+                    leaf["b"][i], np.float16
+                )
+    # falcon new-arch names its input norm ln_attn (dual-norm blocks)
+    if family == "falcon" and "mlp_norm" in layers:
+        for i in range(L):
+            for suffix in ("weight", "bias"):
+                key = f"{prefix}.{i}.{in_norm}.{suffix}"
+                if key in out:
+                    out[f"{prefix}.{i}.ln_attn.{suffix}"] = out.pop(key)
 
     save_file(out, os.path.join(path, "model.safetensors"))
     with open(os.path.join(path, "quantize_config.json"), "w") as f:
