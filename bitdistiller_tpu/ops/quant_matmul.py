@@ -212,23 +212,35 @@ def _combo_of(p: PackedLinear):
     return make_scale_combo(p.scales, p.szeros)
 
 
+# VMEM budget for the single-K-pass decode tile (v5e has 16 MiB more or
+# less; leave room for x, combo, accumulator, and double-buffering)
+_DECODE_QW_VMEM = 11_800_000
+
+
 def quant_matmul_pallas(
     x: jnp.ndarray,
     p: PackedLinear,
     *,
     block_m: int | None = None,
-    # wide N blocks measured fastest at decode (fewer grid cells, deeper
-    # K pipelines): 11.3ms -> 8.9ms per 7B int2 decode step vs block_n=512
-    block_n: int = 2048,
-    groups_per_step: int = 8,
+    block_n: int | None = None,
+    groups_per_step: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: [..., K] -> [..., N] via the fused Pallas kernel.
 
+    Tile policy (measured on v5e, round 3): at decode widths (m <= 8) the
+    fastest tiling is ONE K-pass per grid cell — gps = ALL groups when the
+    qweight block fits VMEM — with bn ~ 4096. Per-matmul streaming at 7B
+    shapes then sits at ~1.0-1.3x the HBM floor (qkv 48 -> 20 us, down
+    38.5 -> 14.2 us vs the old (bn=2048, gps=8) default; gate_up is the
+    straggler at ~2.2x). Round 2's "VPU-unpack-bound at ~2.5 vreg-ops/code"
+    conclusion was an artifact of the old tile shape. Prefill (large m)
+    keeps K-blocked tiles: the x block must also fit VMEM.
+
     When the group count is not a multiple of groups_per_step (e.g. llama
-    down: K=11008 -> 86 groups), the matmul splits into a gps-aligned main
-    region plus a small remainder call — measured 28% faster than degrading
-    the whole matmul to gps=2 (the old fallback).
+    down at gps 8: 86 groups), the matmul splits into a gps-aligned main
+    region plus a small remainder call — but the decode policy prefers a
+    single remainder-free pass (gps = n_groups) whenever it fits.
     """
     if p.a8_order:
         raise ValueError("A8-ordered qweight cannot go through the pair-layout Pallas path")
@@ -239,10 +251,32 @@ def quant_matmul_pallas(
         # prefill sweep on v5e: bm=256 reaches 0.86 MFU at [4096, 4096xN]
         # shapes vs 0.78 at bm=128; decode (m<=8) keeps the minimal tile
         block_m = min(256, max(8, _round_up(m, 8)))
-    block_n = min(block_n, n)
     g = p.group_size
     rpg = g // (32 // p.bits)
     n_groups = k // g
+    if block_n is None or groups_per_step is None:
+        if block_m <= 8:
+            bn_cap = min(4096, n)
+            if groups_per_step is None:
+                # whole-K pass if the qweight block fits the VMEM budget,
+                # else the largest fitting power-of-two step
+                if n_groups * rpg * bn_cap * 4 <= _DECODE_QW_VMEM:
+                    groups_per_step = n_groups
+                else:
+                    groups_per_step = 8
+                    while (
+                        groups_per_step * 2 * rpg * bn_cap * 4 <= _DECODE_QW_VMEM
+                        and groups_per_step * 2 <= n_groups
+                    ):
+                        groups_per_step *= 2
+            if block_n is None:
+                block_n = bn_cap
+        else:
+            if block_n is None:
+                block_n = 2048
+            if groups_per_step is None:
+                groups_per_step = 8
+    block_n = min(block_n, n)
     gps = min(groups_per_step, n_groups)
     combo = _combo_of(p)
     main_groups = (n_groups // gps) * gps
