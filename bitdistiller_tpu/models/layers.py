@@ -85,11 +85,17 @@ def ring_linear(p: PackedLinear, x: jnp.ndarray, tp: int) -> jnp.ndarray:
 
 def linear(params, x: jnp.ndarray, quantizer: Quantizer = None,
            row_parallel: bool = False) -> jnp.ndarray:
-    """Apply a linear layer in whichever representation the params carry."""
-    if isinstance(params, PackedLinear):
+    """Apply a linear layer in whichever representation the params carry:
+    dense/fake-quant dict, PackedLinear, or a StackedPacked layer view
+    (stacked packed weights + layer index from the model's layer scan)."""
+    from ..ops.quant_matmul import StackedPacked, _slice_stacked
+
+    if isinstance(params, (PackedLinear, StackedPacked)):
         if row_parallel:
             tp = _ring_tp_size()
             if tp > 1:
+                if isinstance(params, StackedPacked):
+                    params = _slice_stacked(params)
                 return ring_linear(params, x, tp)
         return quant_matmul(x, params)
     w = params["w"]

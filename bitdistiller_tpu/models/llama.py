@@ -404,6 +404,31 @@ def forward(
     sliding_flags = (
         jnp.asarray(cfg.sliding_layers, bool) if per_layer_sliding else None
     )
+    # Packed leaves do NOT ride the scan's xs: a scanned-over (dynamically
+    # sliced) operand feeding a pallas call materializes an HBM->HBM copy of
+    # every layer's weights (~3.1 ms/step at 7B decode, profiled). Instead
+    # the scan carries only the layer INDEX and each block reads its layer
+    # in place through the scalar-prefetch kernel (ops/quant_matmul.py:
+    # StackedPacked / _qmm_kernel_stacked).
+    from ..ops.quant_matmul import StackedPacked
+    from ..quant.packing import PackedLinear as _PL
+
+    packed_names = tuple(
+        nm for nm, leaf in lp_stack.items() if isinstance(leaf, _PL)
+    )
+    scan_lp = (
+        {nm: l for nm, l in lp_stack.items() if nm not in packed_names}
+        if packed_names
+        else lp_stack
+    )
+
+    def with_packed(lp_sliced, li):
+        if not packed_names:
+            return lp_sliced
+        lp = dict(lp_sliced)
+        for nm in packed_names:
+            lp[nm] = StackedPacked(lp_stack[nm], li)
+        return lp
 
     # Pallas flash-decode path (experimental/flash_decode.py): S=1, uniform layer
     # mode, no ALiBi bias, no engine kv_valid override. At the FULL window
@@ -446,22 +471,23 @@ def forward(
         hidden = carry
         if cache is None:
             if sliding_flags is not None:
-                lp, flag = layer_in
+                lp, li, flag = layer_in
             else:
-                lp, flag = layer_in, None
+                (lp, li), flag = layer_in, None
             c, si, m = select_layer_mode(flag)
             new_h, kv = _block(
-                cfg, lp, hidden, c, si, m, None, 0, quantizer,
+                cfg, with_packed(lp, li), hidden, c, si, m, None, 0, quantizer,
                 keep_kv=return_kv, attn_bias=attn_bias,
             )
             return new_h, kv
         if sliding_flags is not None:
-            lp, ck, cv, ks, vs, flag = layer_in
+            lp, li, ck, cv, ks, vs, flag = layer_in
         else:
-            (lp, ck, cv, ks, vs), flag = layer_in, None
+            (lp, li, ck, cv, ks, vs), flag = layer_in, None
         c, si, m = select_layer_mode(flag)
         new_h, new_kv = _block(
-            cfg, lp, hidden, c, si, m, (ck, cv, ks, vs), cache_pos, quantizer,
+            cfg, with_packed(lp, li), hidden, c, si, m, (ck, cv, ks, vs),
+            cache_pos, quantizer,
             attn_bias=attn_bias, flash_args=flash_args, attn_len=attn_len,
         )
         return new_h, new_kv
@@ -478,12 +504,14 @@ def forward(
         else:
             body = jax.checkpoint(body, prevent_cse=False)
 
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     if cache is None:
-        xs = (lp_stack, sliding_flags) if sliding_flags is not None else lp_stack
+        base_xs = (scan_lp, layer_ids)
+        xs = base_xs + (sliding_flags,) if sliding_flags is not None else base_xs
         h, kv = jax.lax.scan(body, h, xs)
         new_cache = KVCache(k=kv[0], v=kv[1]) if return_kv else None
     else:
-        cache_xs = (lp_stack, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        cache_xs = (scan_lp, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale)
         xs = cache_xs + (sliding_flags,) if sliding_flags is not None else cache_xs
         h, (nk, nv) = jax.lax.scan(body, h, xs)
         # single small write-back of the fresh tokens: blocks emit

@@ -23,6 +23,7 @@ Two code paths, same semantics:
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -146,6 +147,109 @@ def _qmm_kernel(
     @pl.when(k_step == nk - 1)
     def _():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _qmm_kernel_stacked(
+    li_ref, x_ref, qw_ref, c_ref, out_ref, acc_ref,
+    *, bits: int, groups_per_step: int, group_size: int
+):
+    """_qmm_kernel reading one layer of STACKED [L, ...] weights selected by
+    a scalar-prefetched layer index: inside a lax.scan over layers, an XLA
+    dynamic-slice feeding a pallas call MATERIALIZES the slice (an HBM->HBM
+    copy of every weight, ~3.1 ms/step measured at 7B decode); with the
+    index in the BlockSpec index_map the kernel DMAs the layer's blocks
+    straight out of the stacked array. qw/c blocks carry a leading
+    singleton layer dim."""
+    del li_ref  # consumed by the index_maps
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    pack = 32 // bits
+    rows_per_group = group_size // pack
+    offset = _BF16_TRICK[bits][3]
+    x = x_ref[...]
+    acc = acc_ref[...]
+    g0 = k_step * groups_per_step
+    for j in range(groups_per_step):
+        qw = qw_ref[0, j * rows_per_group : (j + 1) * rows_per_group, :]
+        codes = _dequant_block_bf16(qw, bits)
+        xg = x[:, j * group_size : (j + 1) * group_size]
+        partial = jnp.dot(
+            xg.astype(jnp.bfloat16), codes, preferred_element_type=jnp.float32
+        )
+        w = c_ref[0, g0 + j, :][None, :]
+        s = pltpu.bitcast(jax.lax.shift_left(w, 16), jnp.float32)
+        sz = pltpu.bitcast(w & jnp.int32(-65536), jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + partial * s - xsum * (sz + offset * s)
+    acc_ref[...] = acc
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "block_m", "block_n", "groups_per_step", "interpret"),
+)
+def _quant_matmul_pallas_2d_stacked(
+    x,
+    qweight,  # [L, K/pack, N]
+    combo,  # [L, K/G, N]
+    li,  # scalar int32 layer index
+    *,
+    bits: int,
+    group_size: int,
+    block_m: int,
+    block_n: int,
+    groups_per_step: int,
+    interpret: bool = False,
+):
+    m, k = x.shape
+    n = qweight.shape[2]
+    pack = 32 // bits
+    g = group_size
+    bk = groups_per_step * g
+    n_groups = k // g
+    assert k % bk == 0, (k, bk)
+    grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), k // bk)
+    kernel = functools.partial(
+        _qmm_kernel_stacked, bits=bits, groups_per_step=groups_per_step,
+        group_size=g,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, bk), lambda i, j, kk, li: (i, kk)),
+            pl.BlockSpec(
+                (1, groups_per_step * (g // pack), block_n),
+                lambda i, j, kk, li: (li[0], kk, j),
+            ),
+            pl.BlockSpec((1, n_groups, block_n), lambda i, j, kk, li: (li[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk, li: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n * bits // 8 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(li, (1,)).astype(jnp.int32), x, qweight, combo)
 
 
 @functools.partial(
@@ -345,7 +449,82 @@ def _a8_enabled() -> bool:
     return os.environ.get("BITDISTILLER_QMM_A8", "") not in ("", "0")
 
 
-def quant_matmul(x: jnp.ndarray, p: PackedLinear, *, use_pallas: bool | None = None):
+class StackedPacked(NamedTuple):
+    """A view of one layer of a STACKED PackedLinear (arrays carry a leading
+    [L] axis) selected by a traced layer index — the model's layer scan
+    passes these instead of pre-sliced leaves so the Pallas kernel reads
+    the layer's weights in place (no per-layer HBM copy)."""
+
+    p: PackedLinear  # qweight [L, K/pack, N], combo [L, K/G, N]
+    li: jnp.ndarray  # scalar int32
+
+
+def quant_matmul_pallas_stacked(
+    x: jnp.ndarray, p: PackedLinear, li, *, interpret: bool = False
+) -> jnp.ndarray:
+    """quant_matmul_pallas over one layer of stacked weights (decode tile
+    policy; remainder split uses static row slices of the stacked arrays,
+    which stay copy-free — the layer axis is untouched)."""
+    k, n = p.in_features, p.out_features
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+    block_m = min(256, max(8, _round_up(m, 8)))
+    g = p.group_size
+    rpg = g // (32 // p.bits)
+    n_groups = k // g
+    bn = min(4096 if block_m <= 8 else 2048, n)
+    if block_m <= 8 and n_groups * rpg * bn * 4 <= _DECODE_QW_VMEM:
+        gps = n_groups
+    else:
+        gps = 8
+        while (
+            gps * 2 * rpg * bn * 4 <= _DECODE_QW_VMEM and gps * 2 <= n_groups
+        ):
+            gps *= 2
+        gps = min(gps, n_groups)
+    combo = _combo_of(p)
+    main_groups = (n_groups // gps) * gps
+    run = functools.partial(
+        _quant_matmul_pallas_2d_stacked,
+        bits=p.bits, group_size=g, block_m=block_m, block_n=bn,
+        interpret=interpret,
+    )
+    out = run(
+        xf[:, : main_groups * g],
+        p.qweight[:, : main_groups * rpg],
+        combo[:, :main_groups],
+        li,
+        groups_per_step=gps,
+    )
+    if main_groups < n_groups:
+        out = out + run(
+            xf[:, main_groups * g :],
+            p.qweight[:, main_groups * rpg :],
+            combo[:, main_groups:],
+            li,
+            groups_per_step=n_groups - main_groups,
+        )
+    if p.bias is not None:
+        out = out + jax.lax.dynamic_index_in_dim(
+            p.bias, li, keepdims=False
+        ).astype(out.dtype)
+    return out.reshape(*x.shape[:-1], n)
+
+
+def _slice_stacked(sp: StackedPacked) -> PackedLinear:
+    """Materialize one layer (the non-Pallas fallbacks accept plain leaves)."""
+    import dataclasses
+
+    take = lambda a: None if a is None else jax.lax.dynamic_index_in_dim(
+        a, sp.li, keepdims=False
+    )
+    return dataclasses.replace(
+        sp.p, qweight=take(sp.p.qweight), scales=take(sp.p.scales),
+        szeros=take(sp.p.szeros), combo=take(sp.p.combo), bias=take(sp.p.bias),
+    )
+
+
+def quant_matmul(x: jnp.ndarray, p, *, use_pallas: bool | None = None):
     """Packed matmul; picks the Pallas kernel on TPU, XLA path elsewhere.
 
     BITDISTILLER_QMM_MATERIALIZE_M=<M> (experiment flag) routes calls with
@@ -356,6 +535,10 @@ def quant_matmul(x: jnp.ndarray, p: PackedLinear, *, use_pallas: bool | None = N
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    if isinstance(p, StackedPacked):
+        if use_pallas and not p.p.a8_order and not _a8_enabled() and not _materialize_min_m():
+            return quant_matmul_pallas_stacked(x, p.p, p.li)
+        p = _slice_stacked(p)  # fallback paths take a plain layer leaf
     if p.a8_order:
         # weights were repacked for the A8 kernel; no other path can read them
         return quant_matmul_a8(x, p, interpret=not use_pallas)

