@@ -324,6 +324,29 @@ def main():
         # shaped by the cache buffer too)
         for nbs in warm_sizes:
             eng.generate(prompts[:nbs], max_new_tokens=1)
+        if os.environ.get("BENCH_SPY"):
+            # per-dispatch trace (steps + wall gap since the previous
+            # dispatch = the previous horizon's sync+emit cost)
+            _real = eng._dispatch_decode
+            _last = [time.time()]
+
+            def _spy(steps, spec=None):
+                now = time.time()
+                print(f"    +{(now - _last[0])*1e3:7.1f} ms -> dispatch "
+                      f"steps={steps} spec={spec} ema={eng._spec_ema}",
+                      file=sys.stderr)
+                _last[0] = now
+                return _real(steps, spec=spec)
+
+            eng._dispatch_decode = _spy
+        # one full UNTIMED pass of the exact workload: adaptive horizons and
+        # the spec acceptance EMA make the step counts (and therefore the
+        # compiled executable set) trajectory-dependent — fixed-size warmups
+        # cannot cover them all, and a single remote compile inside the
+        # timed region costs ~seconds on the relay
+        eng.run([
+            Request(prompt_tokens=p, max_new_tokens=new_tokens) for p in prompts
+        ])
         t0 = time.time()
         done = eng.run([
             Request(prompt_tokens=p, max_new_tokens=new_tokens) for p in prompts

@@ -359,7 +359,9 @@ def quant_matmul_pallas(
     rpg = g // (32 // p.bits)
     n_groups = k // g
     if block_n is None or groups_per_step is None:
-        if block_m <= 8:
+        # small-m (decode / short spec-verify) single-K-pass tiles measured
+        # at ~1.0-1.3x HBM floor up to m=32; see quant_matmul_pallas_stacked
+        if block_m <= 32:
             bn_cap = min(4096, n)
             if groups_per_step is None:
                 # whole-K pass if the qweight block fits the VMEM budget,
@@ -459,12 +461,57 @@ class StackedPacked(NamedTuple):
     li: jnp.ndarray  # scalar int32
 
 
+def _stacked_bn(m: int, p: PackedLinear) -> int | None:
+    """Largest lane-block for a single-K-pass stacked call that fits VMEM
+    (qweight block + x block + f32 accumulator + combo), or None."""
+    k, n = p.in_features, p.out_features
+    rpg = p.group_size // (32 // p.bits)
+    n_groups = k // p.group_size
+    bm = min(256, max(8, _round_up(m, 8)))
+    for bn in (4096, 2048, 1024):
+        bn = min(bn, n)
+        # Mosaic double-buffers the input blocks BETWEEN grid cells; a
+        # single-cell grid holds one copy of each (that's why decode m<=8
+        # runs down at bn=4096: 13.1M single-buffered, while m=96 at the
+        # same bn OOMs at 17.5M double-buffered)
+        cells = -(-m // bm) * -(-n // bn)
+        mult = 1 if cells == 1 else 2
+        need = (
+            mult * (
+                n_groups * rpg * bn * 4  # qweight block
+                + bm * k * 2  # x block
+                + n_groups * bn * 4  # combo block
+            )
+            + bm * bn * 4  # accumulator scratch
+            + bm * bn * 2  # out block
+        )
+        if need <= 15_000_000:
+            return bn
+    return None
+
+
+def stacked_profitable(x: jnp.ndarray, p: PackedLinear) -> bool:
+    """True when the scalar-prefetch stacked kernel beats slicing: small-m
+    single-K-pass tiles only. MEASURED on v5e (7B shapes): stacked single-K
+    wins at small m (m=16: 14.8 ms/forward vs 17.7 sliced; decode m<=8 is
+    the big win), but stacked with MULTIPLE k-steps collapses (m=16 at
+    gps=8: 46 ms vs 17.7) — the per-k-step re-DMA from the strided layer
+    offset apparently defeats double-buffering. Beyond the m cap (prefill),
+    slicing the layer once amortizes the copy over many rows."""
+    k = p.in_features
+    m = x.size // k
+    if m > 128:
+        return False
+    return _stacked_bn(m, p) is not None
+
+
 def quant_matmul_pallas_stacked(
     x: jnp.ndarray, p: PackedLinear, li, *, interpret: bool = False
 ) -> jnp.ndarray:
-    """quant_matmul_pallas over one layer of stacked weights (decode tile
-    policy; remainder split uses static row slices of the stacked arrays,
-    which stay copy-free — the layer axis is untouched)."""
+    """quant_matmul_pallas over one layer of stacked weights — single-K-pass
+    tiles only (call sites gate on `stacked_profitable`); remainder split
+    uses static row slices of the stacked arrays, which stay copy-free —
+    the layer axis is untouched."""
     k, n = p.in_features, p.out_features
     xf = x.reshape(-1, k)
     m = xf.shape[0]
@@ -472,16 +519,8 @@ def quant_matmul_pallas_stacked(
     g = p.group_size
     rpg = g // (32 // p.bits)
     n_groups = k // g
-    bn = min(4096 if block_m <= 8 else 2048, n)
-    if block_m <= 8 and n_groups * rpg * bn * 4 <= _DECODE_QW_VMEM:
-        gps = n_groups
-    else:
-        gps = 8
-        while (
-            gps * 2 * rpg * bn * 4 <= _DECODE_QW_VMEM and gps * 2 <= n_groups
-        ):
-            gps *= 2
-        gps = min(gps, n_groups)
+    bn = _stacked_bn(m, p) or min(4096, n)
+    gps = n_groups
     combo = _combo_of(p)
     main_groups = (n_groups // gps) * gps
     run = functools.partial(
@@ -536,7 +575,16 @@ def quant_matmul(x: jnp.ndarray, p, *, use_pallas: bool | None = None):
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if isinstance(p, StackedPacked):
-        if use_pallas and not p.p.a8_order and not _a8_enabled() and not _materialize_min_m():
+        import os
+
+        if (
+            use_pallas
+            and not p.p.a8_order
+            and not _a8_enabled()
+            and not _materialize_min_m()
+            and stacked_profitable(x, p.p)
+            and not os.environ.get("BITDISTILLER_NO_STACKED")  # A/B knob
+        ):
             return quant_matmul_pallas_stacked(x, p.p, p.li)
         p = _slice_stacked(p)  # fallback paths take a plain layer leaf
     if p.a8_order:

@@ -174,6 +174,7 @@ class Engine:
         self.spec_min_accept = 1.3
         self.spec_retry_every = 16
         self._spec_ema: float | None = None
+        self._spec_last_rate = 0.0  # last horizon's measured acceptance
         self._spec_off_rounds = 0
         if pipeline_rounds and spec_decode:
             raise ValueError("pipeline_rounds and spec_decode are exclusive")
@@ -292,14 +293,18 @@ class Engine:
                            lengths_dev, active_dev, history, hist_rows,
                            custom=False):
         """All per-slot device state of one admission in one executable.
-        last_logits: [n, V] prompt logits in request order; slot_idx: [n];
-        hist_rows: [n, HW] right-aligned prompt tails for the spec-decode
-        history windows."""
-        prev_tokens = prev_tokens.at[slot_idx].set(-1)
-        temps = temps.at[slot_idx].set(temps_n)
-        top_ks = top_ks.at[slot_idx].set(topks_n)
-        top_ps = top_ps.at[slot_idx].set(topps_n)
-        rep_pens = rep_pens.at[slot_idx].set(reppens_n)
+        last_logits: [np, V] prompt logits in request order; slot_idx: [np];
+        hist_rows: [np, HW] right-aligned prompt tails for the spec-decode
+        history windows. The group is padded to a power of two; padded rows
+        carry slot index == max_slots and every scatter drops them."""
+        DROP = dict(mode="drop")
+        prev_tokens = prev_tokens.at[slot_idx].set(-1, **DROP)
+        temps = temps.at[slot_idx].set(temps_n, **DROP)
+        top_ks = top_ks.at[slot_idx].set(topks_n, **DROP)
+        top_ps = top_ps.at[slot_idx].set(topps_n, **DROP)
+        rep_pens = rep_pens.at[slot_idx].set(reppens_n, **DROP)
+        # gathers clip out-of-range padded indices — harmless, their sampled
+        # rows never land anywhere
         if custom:
             firsts = sample_tokens_batched(
                 sub, last_logits, temps[slot_idx], top_ks[slot_idx],
@@ -310,13 +315,14 @@ class Engine:
                 sub, last_logits, self.sampling, prev_tokens[slot_idx]
             )
         # the first token joins the window so decode's penalty sees it
-        prev_tokens = prev_tokens.at[slot_idx, -1].set(firsts)
-        cur_tokens = cur_tokens.at[slot_idx].set(firsts)
-        lengths_dev = lengths_dev.at[slot_idx].set(plens)
-        active_dev = active_dev.at[slot_idx].set(True)
+        prev_tokens = prev_tokens.at[slot_idx, -1].set(firsts, **DROP)
+        cur_tokens = cur_tokens.at[slot_idx].set(firsts, **DROP)
+        lengths_dev = lengths_dev.at[slot_idx].set(plens, **DROP)
+        active_dev = active_dev.at[slot_idx].set(True, **DROP)
         # spec-decode history = prompt tail ++ first token (right-aligned)
         history = history.at[slot_idx].set(
-            jnp.concatenate([hist_rows[:, 1:], firsts[:, None]], axis=1)
+            jnp.concatenate([hist_rows[:, 1:], firsts[:, None]], axis=1),
+            **DROP,
         )
         return (self._replicated(firsts), prev_tokens, temps, top_ks, top_ps,
                 rep_pens, cur_tokens, lengths_dev, active_dev, history)
@@ -679,16 +685,36 @@ class Engine:
         for i, (r, pl) in enumerate(zip(reqs, plens)):
             tail = r.prompt_tokens[-min(pl, hw):]
             hist_rows[i, -len(tail):] = tail
+        # pad the commit to a power-of-two group size: padded rows carry the
+        # OUT-OF-RANGE slot index max_slots and every scatter inside the
+        # commit uses mode="drop", so they write nothing (a duplicated real
+        # slot would race the scatter order under stochastic sampling). The
+        # executable count stays log2(slots) instead of one per exact group
+        # size — warmup compiles ~5 commit programs at 16 slots, not 16.
+        np_pad = 1
+        while np_pad < n:
+            np_pad *= 2
+        pad = np_pad - n
+        padded_slots = np.asarray(list(slots) + [self.max_slots] * pad, np.int32)
+        eff_p = eff + [eff[-1]] * pad
+        plens_p = list(plens) + [plens[-1]] * pad
+        if pad:
+            last_logits = jnp.concatenate(
+                [last_logits, jnp.repeat(last_logits[-1:], pad, axis=0)]
+            )
+            hist_rows = np.concatenate(
+                [hist_rows, np.repeat(hist_rows[-1:], pad, axis=0)]
+            )
         (firsts, self.prev_tokens, self._temps, self._top_ks, self._top_ps,
          self._rep_pens, self.cur_tokens, self._lengths_dev,
          self._active_dev, self.history) = self._admit_commit(
             last_logits,
-            jnp.asarray(np.asarray(slots, np.int32)),
-            jnp.asarray([s.temperature for s in eff], jnp.float32),
-            jnp.asarray([s.top_k for s in eff], jnp.int32),
-            jnp.asarray([s.top_p for s in eff], jnp.float32),
-            jnp.asarray([s.repetition_penalty for s in eff], jnp.float32),
-            jnp.asarray(plens, jnp.int32),
+            jnp.asarray(padded_slots),
+            jnp.asarray([s.temperature for s in eff_p], jnp.float32),
+            jnp.asarray([s.top_k for s in eff_p], jnp.int32),
+            jnp.asarray([s.top_p for s in eff_p], jnp.float32),
+            jnp.asarray([s.repetition_penalty for s in eff_p], jnp.float32),
+            jnp.asarray(plens_p, jnp.int32),
             sub,
             self.prev_tokens, self._temps, self._top_ks, self._top_ps,
             self._rep_pens, self.cur_tokens, self._lengths_dev,
@@ -966,8 +992,14 @@ class Engine:
                 # acceptance EMA; the headroom bound stays worst-case k+1
                 # (cache writes are physical).
                 budget_rounds = max_rem
-                if spec_now and self._spec_ema and self._spec_ema > 1.0:
-                    budget_rounds = int(-(-max_rem // self._spec_ema))
+                # acceptance estimate: the EMA smooths regime changes, but a
+                # 0.7-decay climbing from a cold start under-estimates for
+                # many horizons and each under-estimate buys a whole horizon
+                # of budget-overshoot rounds — the LAST horizon's measured
+                # rate bounds it from below
+                est = max(self._spec_ema or 0.0, self._spec_last_rate)
+                if spec_now and est > 1.0:
+                    budget_rounds = int(-(-max_rem // est))
                 while steps > 1 and (
                     steps > max(budget_rounds, 1) or steps * tpr > headroom
                 ):
@@ -1021,6 +1053,7 @@ class Engine:
                         rate if self._spec_ema is None
                         else 0.7 * self._spec_ema + 0.3 * rate
                     )
+                    self._spec_last_rate = rate
             if admit_reqs:
                 for t_val, slot in zip(firsts_np, admit_slots):
                     self._emit(slot, int(t_val))
@@ -1083,6 +1116,7 @@ class Engine:
         t0 = time.time()
         plen = min(prompt_len, self.max_len // 2)
         saved = (self.eos, self.spec_min_accept, self._spec_ema,
+                 self._spec_last_rate,
                  self._spec_off_rounds, self.spec_rounds, self.spec_tokens,
                  self.prompt_cache_hits, self.prompt_cache_prefix_hits,
                  self.prompt_cache_misses)
@@ -1093,17 +1127,26 @@ class Engine:
                 return [list(range(3 + j, 3 + j + plen))
                         for j in range(n)]
 
-            for nbs in range(self.max_slots, 0, -1):
+            # admission commits pad to powers of two, so only those sizes
+            # compile distinct executables (prefill batches bucket the same
+            # way) — warmup walks log2(slots) sizes, not every size
+            sizes = []
+            nbs = self.max_slots
+            while nbs >= 1:
+                sizes.append(nbs)
+                nbs //= 2
+            for nbs in sizes:
                 self.generate(prompts(nbs), max_new_tokens=self.horizon + 1)
             self.generate(prompts(1), max_new_tokens=max(self.horizon - 1, 1))
             if self.grow_cache and self.max_len > self._cache_len():
                 # one full-length trajectory grows through every bucket
                 self.generate(prompts(1),
                               max_new_tokens=self.max_len - plen - 2)
-                for nbs in range(self.max_slots, 0, -1):
+                for nbs in sizes:
                     self.generate(prompts(nbs), max_new_tokens=1)
         finally:
             (self.eos, self.spec_min_accept, self._spec_ema,
+             self._spec_last_rate,
              self._spec_off_rounds, self.spec_rounds, self.spec_tokens,
              self.prompt_cache_hits, self.prompt_cache_prefix_hits,
              self.prompt_cache_misses) = saved
