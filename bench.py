@@ -11,8 +11,8 @@ speed-of-light. The reference publishes no machine-readable decode numbers
 
 The headline runs at cache length 2048 — the reference engine's serving
 context (inference/utils/constants.py max_seq_len=2048) and the regime where
-decode is genuinely HBM-bound; a cache-256 row is printed to stderr for
-continuity with round-1 numbers.
+decode is genuinely HBM-bound; the cache-256 row printed alongside is the
+WEIGHT-bound regime (round 3: 0.49-0.52x vs 0.72x at 2048 — quote both).
 
 Modes: decode (default) | prefill (tok/s + TTFT + MFU fields) | engine
 (continuous-batching E2E vs raw decode).
