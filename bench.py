@@ -69,8 +69,53 @@ def make_cfg(layers: int) -> ModelConfig:
     )
 
 
-def bench_decode(params, cfg, args, cache_len: int, steps: int):
-    """Returns (ms_per_step, tokens_per_s, roofline_frac)."""
+def warn_stray_clients():
+    """Warn loudly if another chip client is alive on this host.
+
+    Round 3's official capture recorded 19.3 tok/s where reality was ~427
+    because a leftover scripts/tpu_worker.py held the relay through the
+    driver's bench window. This check cannot see other HOSTS, but it catches
+    the failure mode that actually happened.
+    """
+    me = os.getpid()
+    ancestors = {me}
+    p = me
+    while p > 1:  # our own shell/timeout wrappers are not contention
+        try:
+            with open(f"/proc/{p}/status") as f:
+                p = int(next(l for l in f if l.startswith("PPid:")).split()[1])
+        except (OSError, StopIteration, ValueError):
+            break
+        ancestors.add(p)
+    stray = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) in ancestors:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "tpu_worker" in cmd or ("bench.py" in cmd and "python" in cmd):
+            stray.append((pid, cmd.strip()))
+    for pid, cmd in stray:
+        print(
+            f"WARNING: possible concurrent chip client pid={pid}: {cmd!r} — "
+            "timings may be poisoned (see BENCH_r03 anomaly)",
+            file=sys.stderr,
+        )
+    return stray
+
+
+def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3):
+    """Median-of-`passes` decode timing.
+
+    Returns (ms_per_step, tokens_per_s, roofline_frac, pass_info). Each pass
+    is independently synced (checksum fetch), so a relay stall poisons at most
+    one pass; a pass >2x the best is discarded and re-run once. pass_info
+    carries the per-pass ms list + a `stalled` flag (median >5x the HBM
+    roofline step time = something other than the chip dominated the timing).
+    """
     kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
     cache = KVCache.init(cfg, batch=args.batch, max_len=cache_len, dtype=kv_dtype)
     rng = np.random.default_rng(0)
@@ -101,7 +146,8 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int):
     tok, cache = prefill(params, cache, prompt)
     tok.block_until_ready()
 
-    pos = jnp.asarray(cache_len - steps - 8, jnp.int32)  # decode near full context
+    start_pos = cache_len - steps - 8  # decode near full context
+    pos = jnp.asarray(start_pos, jnp.int32)
     acc = jnp.zeros((), jnp.float32)
     tok, cache, acc = decode_step(params, cache, tok, pos, acc)
     for _ in range(3):  # warm + pay the relay first-transfer outside timing
@@ -109,26 +155,63 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int):
         pos = pos + 1
     float(acc)
 
-    t0 = time.time()
-    for _ in range(steps):
-        tok, cache, acc = decode_step(params, cache, tok, pos, acc)
-        pos = pos + 1
-    checksum = float(acc)  # forces completion of the whole step chain
-    dt = (time.time() - t0) / steps
-    print(f"  checksum {checksum:.4f}", file=sys.stderr)
+    def one_pass(tok, cache, acc):
+        # reset pos each pass so repeated passes never overrun the cache;
+        # pos is a traced arg so this does not recompile
+        pos = jnp.asarray(start_pos, jnp.int32)
+        t0 = time.time()
+        for _ in range(steps):
+            tok, cache, acc = decode_step(params, cache, tok, pos, acc)
+            pos = pos + 1
+        checksum = float(acc)  # forces completion of the whole step chain
+        dt = (time.time() - t0) / steps
+        print(f"  checksum {checksum:.4f}  pass {dt*1e3:.2f} ms/step", file=sys.stderr)
+        return dt, tok, cache, acc
+
+    dts = []
+    for _ in range(passes):
+        dt, tok, cache, acc = one_pass(tok, cache, acc)
+        dts.append(dt)
+    # a pass >2x the best is a stall (relay hiccup, contention) — re-run it
+    # once rather than letting it drag the median
+    retries = passes
+    while retries and max(dts) > 2 * min(dts):
+        print(
+            f"  WARNING: pass spread {min(dts)*1e3:.2f}..{max(dts)*1e3:.2f} "
+            "ms/step — retrying the outlier pass", file=sys.stderr,
+        )
+        dts.remove(max(dts))
+        dt, tok, cache, acc = one_pass(tok, cache, acc)
+        dts.append(dt)
+        retries -= 1
+    dt = float(np.median(dts))
     tokens_per_s = args.batch / dt
-    roofline_steps = V5E_HBM_BYTES_PER_S / model_bytes_per_step(
+    bytes_per_step = model_bytes_per_step(
         cfg, args.bits, args.batch, cache_len,
         kv_bytes=1 if args.kv_dtype == "int8" else 2,
     )
+    roofline_steps = V5E_HBM_BYTES_PER_S / bytes_per_step
     frac = tokens_per_s / (roofline_steps * args.batch)
+    stalled = dt > 5 * (bytes_per_step / V5E_HBM_BYTES_PER_S)
+    if stalled:
+        print(
+            f"  ERROR: median {dt*1e3:.2f} ms/step is >5x the roofline step "
+            f"({bytes_per_step/V5E_HBM_BYTES_PER_S*1e3:.2f} ms) — the run was "
+            "stalled (relay/contention), the number is NOT a chip measurement",
+            file=sys.stderr,
+        )
+    pass_info = {
+        "pass_ms": [round(d * 1e3, 2) for d in sorted(dts)],
+        "spread": round((max(dts) - min(dts)) / dt, 3),
+        "stalled": stalled,
+    }
     print(
-        f"  decode cache={cache_len}: {dt*1e3:.2f} ms/step, {tokens_per_s:.1f} tok/s "
-        f"(batch {args.batch}), roofline {roofline_steps*args.batch:.1f} tok/s "
-        f"-> {frac:.3f}x",
+        f"  decode cache={cache_len}: {dt*1e3:.2f} ms/step (median of "
+        f"{len(dts)}), {tokens_per_s:.1f} tok/s (batch {args.batch}), "
+        f"roofline {roofline_steps*args.batch:.1f} tok/s -> {frac:.3f}x",
         file=sys.stderr,
     )
-    return dt, tokens_per_s, frac
+    return dt, tokens_per_s, frac, pass_info
 
 
 def main():
@@ -164,6 +247,7 @@ def main():
                     "prefix, cached once via the prompt cache; requests "
                     "prefill only their 32-token tails")
     args = ap.parse_args()
+    warn_stray_clients()
 
     if args.mode == "train":
         # KD-QAT step throughput: CAKLD (teacher fwd + student fwd/bwd with
@@ -281,7 +365,9 @@ def main():
 
         # raw-vs-E2E at max_len 1024: the raw baseline and the engine each
         # hold a full cache; two 2048 caches + weights exceed one chip's HBM
-        raw_dt, raw_tps, _ = bench_decode(params, cfg, args, 1024, max(args.steps // 2, 20))
+        raw_dt, raw_tps, _, _ = bench_decode(
+            params, cfg, args, 1024, max(args.steps // 2, 20), passes=2
+        )
         eng = Engine(
             params, cfg, max_slots=args.batch, max_len=1024,
             sampling=SamplingParams(temperature=0.0), eos_token_id=None,
@@ -465,12 +551,19 @@ def main():
         sse = lt.run_load(url, bodies(4, 32), concurrency=2, stream=True)
         front.shutdown()
         t.join(timeout=120)
+        # vs_baseline = fraction of the same-config decode roofline (batch =
+        # slots, the engine's 1024 cache), matching every other mode's
+        # fraction-of-speed-of-light semantics; errors stay their own field
+        serve_roofline = args.batch * V5E_HBM_BYTES_PER_S / model_bytes_per_step(
+            cfg, args.bits, args.batch, 1024,
+            kv_bytes=1 if args.kv_dtype == "int8" else 2,
+        )
         out = {
             "metric": f"int{args.bits}-g128 packed 7B ONLINE serving (HTTP), "
                       f"{args.batch} slots, 1 chip",
             "value": summary["throughput_tok_s"],
             "unit": "tokens/s",
-            "vs_baseline": 0.0 if summary["errors"] else 1.0,  # error-free run
+            "vs_baseline": round(summary["throughput_tok_s"] / serve_roofline, 4),
             "latency_p50_s": summary["latency_p50_s"],
             "latency_p99_s": summary["latency_p99_s"],
             "ttft_p50_s": sse.get("ttft_p50_s"),
@@ -492,8 +585,14 @@ def main():
 
     # decode mode — headline at the 2048-token serving context
     if not args.skip_short_row:
-        bench_decode(params, cfg, args, 256, max(args.steps // 2, 20))  # continuity row
-    dt, tps, frac = bench_decode(params, cfg, args, args.cache_len, args.steps)
+        bench_decode(params, cfg, args, 256, max(args.steps // 2, 20), passes=2)
+    dt, tps, frac, info = bench_decode(params, cfg, args, args.cache_len, args.steps)
+    if info["stalled"]:
+        # one full re-measurement before declaring the capture poisoned
+        print("  stalled run — re-measuring once...", file=sys.stderr)
+        dt, tps, frac, info = bench_decode(
+            params, cfg, args, args.cache_len, args.steps
+        )
     print(json.dumps({
         "metric": (
             f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, "
@@ -504,7 +603,12 @@ def main():
         "value": round(tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(frac, 4),
+        "pass_ms": info["pass_ms"],
+        "spread": info["spread"],
+        **({"stalled": True} if info["stalled"] else {}),
     }))
+    if info["stalled"]:
+        sys.exit(1)  # the recorded number is not a chip measurement
 
 
 if __name__ == "__main__":

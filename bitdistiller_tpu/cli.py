@@ -80,7 +80,7 @@ def cmd_ppl(args):
     from .eval.ppl import perplexity, prepare_blocks
     from .quant.core import make_fake_quantizer
 
-    params, cfg = _load_model(args.model_path)
+    params, cfg = _load_model(args.model_path, args.dtype)
     if args.tokens_file:
         tokens = np.load(args.tokens_file)
     else:
@@ -383,6 +383,8 @@ def build_parser():
     pp.add_argument("--seqlen", type=int, default=2048)
     pp.add_argument("--batch_size", type=int, default=1)
     pp.add_argument("--tokens_file", default=None, help="pre-tokenized .npy corpus")
+    pp.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16",
+                    help="model compute dtype (float32 for differential parity runs)")
     pp.set_defaults(fn=cmd_ppl)
 
     pk = sub.add_parser("pack", help="quantize+pack for serving")

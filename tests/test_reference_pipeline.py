@@ -1,0 +1,189 @@
+"""Whole-pipeline differential parity vs the reference's own eval stack.
+
+tests/test_reference_parity.py covers the LEAF functions (quantizers, losses,
+autoclip, GPTQ params) against the reference's torch code. This module closes
+the remaining "verified by restatement" gap (round-3 VERDICT missing #3): the
+reference's full quantize->eval pipeline —
+
+  test/test_utils.py:68-85  pseudo_quantize_model_weight   (torch, in place)
+  test/general/wiki_ppl.py:46-137  llama_eval              (layer-staged PPL)
+
+— is RUN AS A WHOLE (their code, imported from /root/reference and executed
+on CPU) on a tiny random-init llama HF checkpoint, against this repo's
+`cli ppl --quant_type ...` on the same checkpoint + token stream. The PPLs
+must agree to ~1e-3 relative in float32.
+
+The only reference-side accommodation is a per-layer shim for transformers
+4.57 (LlamaDecoderLayer now *requires* position_embeddings, which the
+reference's llama_eval — written for an older API — does not pass; the
+reference itself carries the same fix commented out at wiki_ppl.py:95-100).
+The shim adds no math: it computes rotary embeddings exactly as LlamaModel
+does (modeling_llama: position_embeddings = rotary_emb(h, position_ids)).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import io
+import re
+import sys
+import types
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+pytestmark = pytest.mark.slow  # integration tier (whole-model fwd both sides)
+
+REF = "/root/reference"
+SEQLEN = 128
+NSAMPLES = 3
+GROUP = 64
+
+
+def _load_ref_module(name: str, path: str):
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_stack():
+    """Reference test_utils + wiki_ppl, imported from /root/reference.
+
+    test_utils imports bitsandbytes (absent here) only for the unused
+    get_named_bnb_linears helper — stub the module. wiki_ppl does
+    `from test_utils import pseudo_quantize_model_weight`; pre-seeding
+    sys.modules under a private key is not enough for that, so the loaded
+    test_utils is registered as "test_utils" for the duration (this repo's
+    tests/test_utils.py is a pytest module, never imported by that name).
+    """
+    if "bitsandbytes" not in sys.modules:
+        import importlib.machinery
+
+        bnb = types.ModuleType("bitsandbytes")
+        bnb.__spec__ = importlib.machinery.ModuleSpec("bitsandbytes", None)
+        bnb.__version__ = "0.0.0-stub"
+        bnb.nn = types.SimpleNamespace(Linear4bit=type("Linear4bit", (), {}))
+        sys.modules["bitsandbytes"] = bnb
+    tu = _load_ref_module("test_utils", f"{REF}/test/test_utils.py")
+    wp = _load_ref_module("ref_wiki_ppl", f"{REF}/test/general/wiki_ppl.py")
+    return tu, wp
+
+
+class _LayerShim(nn.Module):
+    """transformers>=4.46 compat: supply position_embeddings to the layer,
+    computed exactly as LlamaModel.forward does. Returns a 1-tuple so the
+    reference's `layer(...)[0]` indexing behaves as in the old API."""
+
+    def __init__(self, layer, rotary):
+        super().__init__()
+        self.layer = layer
+        self.rotary = rotary
+
+    def forward(self, hidden_states, attention_mask=None, position_ids=None, **kw):
+        pe = self.rotary(hidden_states, position_ids)
+        out = self.layer(
+            hidden_states,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            position_embeddings=pe,
+            **kw,
+        )
+        return out if isinstance(out, tuple) else (out,)
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """Tiny random-init llama checkpoint (fp32) + token stream, shared by
+    both sides."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitdistiller_tpu.models import TINY_TEST, init_params
+    from bitdistiller_tpu.models.hf_import import save_hf_checkpoint
+
+    path = tmp_path_factory.mktemp("ref_pipeline_ckpt")
+    params = init_params(TINY_TEST, jax.random.key(7), dtype=jnp.float32)
+    save_hf_checkpoint(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params),
+        TINY_TEST, str(path),
+    )
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(
+        0, TINY_TEST.vocab_size, (NSAMPLES * SEQLEN + 5,)
+    ).astype(np.int32)
+    np.save(path / "tokens.npy", tokens)
+    return str(path), tokens
+
+
+def _reference_ppl(ref_stack, model_dir: str, tokens: np.ndarray,
+                   quant_type: str | None, w_bit: int) -> float:
+    """The reference pipeline, their code end to end: HF load ->
+    pseudo_quantize_model_weight -> llama_eval (which prints the ppl)."""
+    from transformers import AutoModelForCausalLM
+
+    tu, wp = ref_stack
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype=torch.float32
+    )
+    model.eval()
+    if quant_type is not None:
+        tu.pseudo_quantize_model_weight(
+            model, w_bit=w_bit,
+            q_config={"zero_point": True, "q_group_size": GROUP},
+            quant_type=quant_type,
+        )
+    rotary = model.model.rotary_emb
+    model.model.layers = nn.ModuleList(
+        [_LayerShim(l, rotary) for l in model.model.layers]
+    )
+    enc = types.SimpleNamespace(
+        input_ids=torch.tensor(tokens, dtype=torch.long)[None]
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        wp.llama_eval(model, enc, torch.device("cpu"), seqlen=SEQLEN)
+    m = re.search(r"ppl:\s*\n([0-9.]+)", buf.getvalue())
+    assert m, f"llama_eval printed no ppl:\n{buf.getvalue()}"
+    return float(m.group(1))
+
+
+def _our_ppl(model_dir: str, quant_type: str | None, w_bit: int,
+             capsys) -> float:
+    """This repo's pipeline through the actual CLI entrypoint."""
+    from bitdistiller_tpu.cli import main
+
+    argv = ["ppl", "--model_path", model_dir,
+            "--tokens_file", f"{model_dir}/tokens.npy",
+            "--seqlen", str(SEQLEN), "--dtype", "float32",
+            "--q_group_size", str(GROUP)]
+    if quant_type is not None:
+        argv += ["--quant_type", quant_type, "--w_bit", str(w_bit)]
+    main(argv)
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("ppl:")][-1]
+    return float(line.split()[1])
+
+
+@pytest.mark.parametrize(
+    "quant_type,w_bit",
+    [(None, 0), ("int", 2), ("int", 3), ("nf3", 3)],
+    ids=["fp32", "int2", "int3", "nf3"],
+)
+def test_reference_pipeline_ppl(ref_stack, checkpoint, capsys,
+                                quant_type, w_bit):
+    model_dir, tokens = checkpoint
+    theirs = _reference_ppl(ref_stack, model_dir, tokens, quant_type, w_bit)
+    ours = _our_ppl(model_dir, quant_type, w_bit, capsys)
+    rel = abs(ours - theirs) / theirs
+    assert rel < 2e-3, (
+        f"whole-pipeline PPL mismatch ({quant_type}, {w_bit}-bit): "
+        f"reference {theirs:.6f} vs ours {ours:.6f} (rel {rel:.2e})"
+    )
