@@ -17,6 +17,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -175,6 +176,7 @@ def _block(
     linear_fn=None,  # (name, leaf, x) -> y hook; AutoClip capture plugs in here
     flash_args=None,  # (start [B] int32, window) -> use the Pallas decode kernel
     attn_len: int | None = None,  # static: read only cache[:, :, :attn_len]
+    flash2_args=None,  # (ck_full, cv_full, li, start, window, attn_len, interp)
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
@@ -206,7 +208,20 @@ def _block(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    if cache_kv is not None:
+    if flash2_args is not None:
+        # Stacked flash-decode: the scan carries only the layer index; the
+        # kernel reads this layer's [B, Hkv, T, D] planes in place out of the
+        # full stacked cache (no xs slice -> no HBM->HBM copy; see
+        # ops/decode_attention.py). cache_kv is None in this mode.
+        from ..ops.decode_attention import flash_decode_stacked
+
+        ckf, cvf, li2, start2, window2, alen2, interp2 = flash2_args
+        attn = flash_decode_stacked(
+            q, ckf, cvf, li2, k.astype(ckf.dtype), v.astype(cvf.dtype),
+            start2, window=window2, attn_len=alen2, interpret=interp2,
+        )
+        new_cache = (k.astype(ckf.dtype), v.astype(cvf.dtype))
+    elif cache_kv is not None:
         # Read-only cache + appended fresh k/v: the scan never rewrites the
         # [T_max] cache buffer (a full-cache write per layer per step would
         # dominate decode bandwidth); the new tokens are written back once
@@ -449,10 +464,23 @@ def forward(
         and kv_valid is None
         and not per_layer_sliding
     )
+    # Second-generation stacked flash-decode (ops/decode_attention.py): the
+    # cache stays OUT of the scan xs (no per-layer slice copy) and the kernel
+    # streams whole head-group [T, D] planes. Opt-in via BITDISTILLER_FLASH2=1
+    # while under evaluation vs the XLA two-piece attention.
+    flash2_proto = None
+    if flash_ok and os.environ.get("BITDISTILLER_FLASH2", "0") == "1":
+        start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
+        flash2_proto = (
+            start_vec, cfg.sliding_window, attn_len,
+            jax.default_backend() != "tpu",
+        )
     if use_flash_decode is None:
         use_flash_decode = attn_len is not None and jax.default_backend() == "tpu"
     flash_args = None
-    if use_flash_decode and flash_ok:
+    if flash2_proto is not None:
+        pass
+    elif use_flash_decode and flash_ok:
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash_args = (start_vec, cfg.sliding_window)
     else:
@@ -469,6 +497,18 @@ def forward(
 
     def body(carry, layer_in):
         hidden = carry
+        if cache is not None and flash2_proto is not None:
+            # flash2 mode: xs carries only (lp, li); per_layer_sliding is
+            # excluded by flash_ok so no flag rides along
+            lp, li = layer_in
+            start2, window2, alen2, interp2 = flash2_proto
+            new_h, new_kv = _block(
+                cfg, with_packed(lp, li), hidden, cos, sin, None, None,
+                cache_pos, quantizer, attn_bias=attn_bias,
+                flash2_args=(cache.k, cache.v, li, start2, window2, alen2,
+                             interp2),
+            )
+            return new_h, new_kv
         if cache is None:
             if sliding_flags is not None:
                 lp, li, flag = layer_in
@@ -511,9 +551,15 @@ def forward(
         h, kv = jax.lax.scan(body, h, xs)
         new_cache = KVCache(k=kv[0], v=kv[1]) if return_kv else None
     else:
-        cache_xs = (scan_lp, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        xs = cache_xs + (sliding_flags,) if sliding_flags is not None else cache_xs
-        h, (nk, nv) = jax.lax.scan(body, h, xs)
+        if flash2_proto is not None:
+            # the cache is read in place by the kernel — only (lp, li) ride xs
+            h, (nk, nv) = jax.lax.scan(body, h, (scan_lp, layer_ids))
+        else:
+            cache_xs = (scan_lp, layer_ids, cache.k, cache.v,
+                        cache.k_scale, cache.v_scale)
+            xs = (cache_xs + (sliding_flags,) if sliding_flags is not None
+                  else cache_xs)
+            h, (nk, nv) = jax.lax.scan(body, h, xs)
         # single small write-back of the fresh tokens: blocks emit
         # [L, B, S, Hkv, D] -> transpose to the cache's head-major layout
         nk = nk.transpose(0, 1, 3, 2, 4)  # [L, B, Hkv, S, D]

@@ -1,0 +1,245 @@
+"""Stacked flash-decode attention: single-token attention over the full
+[L, B, Hkv, T, D] KV cache, reading each layer's planes in place via a
+scalar-prefetched layer index.
+
+TPU-native replacement for the reference's FasterTransformer masked MHA
+(inference/kernels/csrc/attention/ft_attention.cpp:111-181 + ~4k LoC of
+decoder_masked_multihead_attention kernels). Second-generation design built
+on the round-3 kernel findings (NOTES_ROUND2/NEXT_ROUND):
+
+  1. SCAN-SLICE COPY: inside the per-layer lax.scan, an xs slice of the cache
+     feeding a pallas call materializes an HBM->HBM copy of the whole layer's
+     KV (~270 MB/layer at 7B/T=2048). Like ops/quant_matmul.StackedPacked,
+     the scan carries only the layer INDEX; the kernel's BlockSpec index_map
+     picks the layer out of the stacked cache, so the DMA reads the planes in
+     place. The retired first-generation kernel (experimental/flash_decode.py)
+     consumed xs slices.
+  2. SINGLE-PASS, BIG BLOCKS: one grid cell covers a GROUP of kv heads with
+     the WHOLE [T, D] plane per head when VMEM allows (the round-3 tile
+     lesson: many small blocks lose to one streaming pass; the old kernel
+     used [256, D] blocks and an online softmax across 8 T-steps). The
+     contiguous K block per cell is hg*T*D*2 bytes — multi-MB DMAs.
+  3. CELL-AWARE VMEM BUDGET: Mosaic double-buffers input blocks only when the
+     grid has >1 cell, so the (hg, bt) policy sizes K+V double-buffered
+     against the measured ~12 MB usable window (see _plan_blocks).
+
+The online-softmax scratch is kept so T larger than the VMEM budget still
+works (nt > 1 T-steps), but the block planner prefers nt == 1.
+
+Semantics match models/layers.cached_attention at S=1: cache rows valid
+strictly below `start` (per-slot lengths, continuous batching), the fresh
+token sits at position `start` and attends to itself; optional sliding
+window masks rows <= start - window.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+# usable VMEM window for the double-buffered KV blocks (bytes). v5e-measured
+# prior, same provenance as quant_matmul's decode budget; overridable for
+# other TPU generations without code edits.
+_KV_VMEM_BUDGET = int(os.environ.get("BITDISTILLER_FD_VMEM", 11_800_000))
+
+
+def _plan_blocks(hkv: int, t: int, d: int, itemsize: int,
+                 budget: int = None) -> tuple[int, int]:
+    """Pick (head_group hg, T-block bt): whole-T single pass if it fits,
+    then as many heads per cell as the double-buffered budget allows."""
+    budget = budget or _KV_VMEM_BUDGET
+    per_head_plane = t * d * itemsize  # one K plane; V doubles it
+    bt = t
+    # shrink the T block until one head's double-buffered K+V fits
+    while 4 * bt * d * itemsize > budget and bt > 256:
+        bt = (bt + 1) // 2
+    hg = 1
+    while (
+        hg * 2 <= hkv
+        and hkv % (hg * 2) == 0
+        and 4 * (hg * 2) * bt * d * itemsize <= budget
+    ):
+        hg *= 2
+    del per_head_plane
+    return hg, bt
+
+
+def _fd2_kernel(
+    li_ref,  # scalar prefetch (1,) int32: layer index (used by index_maps)
+    start_ref,  # scalar prefetch (B,) int32: per-slot cache lengths
+    q_ref,  # (1, hg, rep, D)
+    k_ref,  # (1, 1, hg, bt, D) layer plane block
+    v_ref,  # (1, 1, hg, bt, D)
+    kn_ref,  # (1, hg, 1, D) fresh key
+    vn_ref,  # (1, hg, 1, D) fresh value
+    o_ref,  # (1, hg, rep, D)
+    m_s,  # VMEM (rows_pad, 128) f32 running max per (g, r) row
+    l_s,  # VMEM (rows_pad, 128) f32 running denom
+    acc_s,  # VMEM (rows_pad, D) f32 running numerator
+    *,
+    bt: int,
+    hg: int,
+    rep: int,
+    window: int | None,
+):
+    it = pl.program_id(2)
+    nt = pl.num_programs(2)
+    start = start_ref[pl.program_id(0)]
+    scale = 1.0 / (q_ref.shape[-1] ** 0.5)
+
+    @pl.when(it == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _NEG)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    t0 = it * bt
+
+    @pl.when(t0 < start)
+    def _():
+        for g in range(hg):  # static unroll over the head group
+            q = q_ref[0, g].astype(jnp.float32)  # [rep, D]
+            k = k_ref[0, 0, g]  # [bt, D]
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [rep, bt]
+            t_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (rep, bt), 1)
+            valid = t_idx < start
+            if window is not None:
+                valid = valid & (t_idx > start - window)
+            s = jnp.where(valid, s, _NEG)
+            r0 = g * rep
+            m_old = m_s[r0 : r0 + rep, :1]  # [rep, 1]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(valid, p, 0.0)  # exp(_NEG - m) can round to junk
+            l_new = l_s[r0 : r0 + rep, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, g],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rep, D]
+            acc_s[r0 : r0 + rep, :] = acc_s[r0 : r0 + rep, :] * alpha + pv
+            m_s[r0 : r0 + rep, :] = jnp.broadcast_to(
+                m_new, m_s[r0 : r0 + rep, :].shape
+            )
+            l_s[r0 : r0 + rep, :] = jnp.broadcast_to(
+                l_new, l_s[r0 : r0 + rep, :].shape
+            )
+
+    @pl.when(it == nt - 1)
+    def _():
+        # fold in the fresh token (position `start`, always visible) and
+        # normalize; with start == 0 this is the whole result
+        for g in range(hg):
+            q = q_ref[0, g].astype(jnp.float32)
+            kn = kn_ref[0, g, 0].astype(jnp.float32)[None, :]  # [1, D]
+            s_new = jnp.sum(q * kn, axis=-1, keepdims=True) * scale  # [rep, 1]
+            r0 = g * rep
+            m_old = m_s[r0 : r0 + rep, :1]
+            m_f = jnp.maximum(m_old, s_new)
+            alpha = jnp.exp(m_old - m_f)
+            p_new = jnp.exp(s_new - m_f)
+            l_f = l_s[r0 : r0 + rep, :1] * alpha + p_new
+            vn = vn_ref[0, g, 0].astype(jnp.float32)[None, :]
+            acc = acc_s[r0 : r0 + rep, :] * alpha + p_new * vn
+            o_ref[0, g] = (acc / l_f).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "attn_len", "head_group", "block_t", "interpret"),
+)
+def flash_decode_stacked(
+    q: jnp.ndarray,  # [B, 1, Hq, D] single fresh token per sequence
+    ck: jnp.ndarray,  # [L, B, Hkv, T, D] FULL stacked cache (read in place)
+    cv: jnp.ndarray,
+    li: jnp.ndarray,  # scalar int32 layer index
+    k_new: jnp.ndarray,  # [B, 1, Hkv, D]
+    v_new: jnp.ndarray,
+    start: jnp.ndarray,  # [B] int32 per-slot cache lengths
+    *,
+    window: int | None = None,
+    attn_len: int | None = None,
+    head_group: int | None = None,
+    block_t: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, 1, Hq, D]; same math as cached_attention at S=1.
+
+    attn_len (static) bounds the T grid: cache planes past it are never
+    DMA'd. Callers must guarantee every start < attn_len."""
+    b, s, hq, d = q.shape
+    assert s == 1, "flash decode is the S=1 path"
+    L, _, hkv, t, _ = ck.shape
+    rep = hq // hkv
+    hg, bt = _plan_blocks(hkv, t, d, ck.dtype.itemsize)
+    if head_group is not None:
+        hg = head_group
+    if block_t is not None:
+        bt = block_t
+    t_lim = t if attn_len is None or attn_len > t else attn_len
+    nt = max(1, -(-t_lim // bt))
+
+    qg = q.reshape(b, hkv, rep, d)
+    kng = k_new.reshape(b, hkv, 1, d)
+    vng = v_new.reshape(b, hkv, 1, d)
+    rows = hg * rep
+    rows_pad = max(rows, 8)
+
+    kernel = functools.partial(
+        _fd2_kernel, bt=bt, hg=hg, rep=rep, window=window
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv // hg, nt),
+        in_specs=[
+            pl.BlockSpec((1, hg, rep, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, hg, bt, d), lambda i, h, tt, li, st: (li[0], i, h, tt, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, hg, bt, d), lambda i, h, tt, li, st: (li[0], i, h, tt, 0)
+            ),
+            pl.BlockSpec((1, hg, 1, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
+            pl.BlockSpec((1, hg, 1, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hg, rep, d), lambda i, h, tt, li, st: (i, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pad, 128), jnp.float32),
+            pltpu.VMEM((rows_pad, 128), jnp.float32),
+            pltpu.VMEM((rows_pad, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * nt * bt * d,
+            bytes_accessed=2 * b * hkv * nt * bt * d * ck.dtype.itemsize,
+            transcendentals=b * hq * nt * bt,
+        ),
+        interpret=interpret,
+    )(
+        jnp.reshape(li, (1,)).astype(jnp.int32),
+        start.astype(jnp.int32),
+        qg, ck, cv, kng, vng,
+    )
+    return out.reshape(b, 1, hq, d)

@@ -316,9 +316,81 @@ def _combo_of(p: PackedLinear):
     return make_scale_combo(p.scales, p.szeros)
 
 
-# VMEM budget for the single-K-pass decode tile (v5e has 16 MiB more or
-# less; leave room for x, combo, accumulator, and double-buffering)
-_DECODE_QW_VMEM = 11_800_000
+# ---------------------------------------------------------------------------
+# Tile policy: v5e-measured priors, overridable per backend
+#
+# The numbers below were measured on v5e (round 3). On another TPU generation
+# or Mosaic release they may mistune, so every one of them resolves through
+# (1) an installed policy (set_tile_policy / autotune_tile_policy), then
+# (2) an env override, then (3) the v5e prior — no code edits needed.
+# ---------------------------------------------------------------------------
+
+_TILE_POLICY: dict[str, int] = {}
+
+#   decode_vmem   VMEM budget for the single-K-pass decode qweight block
+#                 (v5e has ~16 MiB; leave room for x, combo, accumulator)
+#   stacked_vmem  cell-aware budget for the stacked kernel's whole block set
+#   bn_cap        lane-block cap for small-m single-K-pass tiles
+#   stacked_max_m beyond this m, slicing the layer once beats the stacked
+#                 kernel (prefill amortizes the slice copy over many rows)
+_TILE_PRIORS = {
+    "decode_vmem": 11_800_000,
+    "stacked_vmem": 15_000_000,
+    "bn_cap": 4096,
+    "stacked_max_m": 128,
+}
+_TILE_ENV = {
+    "decode_vmem": "BITDISTILLER_QMM_VMEM",
+    "stacked_vmem": "BITDISTILLER_QMM_STACKED_VMEM",
+    "bn_cap": "BITDISTILLER_QMM_BN",
+    "stacked_max_m": "BITDISTILLER_QMM_STACKED_MAX_M",
+}
+
+
+def tile_policy(key: str) -> int:
+    if key in _TILE_POLICY:
+        return _TILE_POLICY[key]
+    import os
+
+    v = os.environ.get(_TILE_ENV[key], "")
+    return int(v) if v else _TILE_PRIORS[key]
+
+
+def set_tile_policy(**kv: int) -> None:
+    """Install measured tile-policy values (autotune_tile_policy calls this);
+    pass key=None to drop an entry back to env/prior resolution."""
+    for k, v in kv.items():
+        if k not in _TILE_PRIORS:
+            raise KeyError(f"unknown tile-policy key {k!r}")
+        if v is None:
+            _TILE_POLICY.pop(k, None)
+        else:
+            _TILE_POLICY[k] = int(v)
+
+
+def autotune_tile_policy(p: PackedLinear, m: int = 8, *,
+                         interpret: bool = False) -> dict:
+    """Measure-once bn sweep for the current backend and install the winner.
+
+    Times quant_matmul_pallas over bn ∈ {1024, 2048, 4096} (single-K-pass
+    decode tiles) on a zeros activation of `m` rows and installs the fastest
+    as bn_cap. VMEM budgets are deliberately NOT probed (OOM probing can
+    wedge the backend) — override those via env on non-v5e hardware.
+    Returns {bn: seconds} for the record."""
+    from ..utils.profiling import autotune
+
+    xz = jnp.zeros((m, p.in_features), jnp.bfloat16)
+
+    def build(bn):
+        def run(x):
+            return quant_matmul_pallas(x, p, block_n=bn, interpret=interpret)
+
+        return jax.jit(run) if not interpret else run
+
+    best, results = autotune(build, (1024, 2048, 4096), xz)
+    if best is not None:
+        set_tile_policy(bn_cap=best)
+    return results
 
 
 def quant_matmul_pallas(
@@ -362,16 +434,17 @@ def quant_matmul_pallas(
         # small-m (decode / short spec-verify) single-K-pass tiles measured
         # at ~1.0-1.3x HBM floor up to m=32; see quant_matmul_pallas_stacked
         if block_m <= 32:
-            bn_cap = min(4096, n)
+            bn_cap = min(tile_policy("bn_cap"), n)
+            vmem = tile_policy("decode_vmem")
             if groups_per_step is None:
                 # whole-K pass if the qweight block fits the VMEM budget,
                 # else the largest fitting power-of-two step
-                if n_groups * rpg * bn_cap * 4 <= _DECODE_QW_VMEM:
+                if n_groups * rpg * bn_cap * 4 <= vmem:
                     groups_per_step = n_groups
                 else:
                     groups_per_step = 8
                     while (
-                        groups_per_step * 2 * rpg * bn_cap * 4 <= _DECODE_QW_VMEM
+                        groups_per_step * 2 * rpg * bn_cap * 4 <= vmem
                         and groups_per_step * 2 <= n_groups
                     ):
                         groups_per_step *= 2
@@ -468,7 +541,9 @@ def _stacked_bn(m: int, p: PackedLinear) -> int | None:
     rpg = p.group_size // (32 // p.bits)
     n_groups = k // p.group_size
     bm = min(256, max(8, _round_up(m, 8)))
-    for bn in (4096, 2048, 1024):
+    bn_cap = tile_policy("bn_cap")
+    budget = tile_policy("stacked_vmem")
+    for bn in (bn_cap, bn_cap // 2, bn_cap // 4):
         bn = min(bn, n)
         # Mosaic double-buffers the input blocks BETWEEN grid cells; a
         # single-cell grid holds one copy of each (that's why decode m<=8
@@ -485,7 +560,7 @@ def _stacked_bn(m: int, p: PackedLinear) -> int | None:
             + bm * bn * 4  # accumulator scratch
             + bm * bn * 2  # out block
         )
-        if need <= 15_000_000:
+        if need <= budget:
             return bn
     return None
 
@@ -500,7 +575,7 @@ def stacked_profitable(x: jnp.ndarray, p: PackedLinear) -> bool:
     slicing the layer once amortizes the copy over many rows."""
     k = p.in_features
     m = x.size // k
-    if m > 128:
+    if m > tile_policy("stacked_max_m"):
         return False
     return _stacked_bn(m, p) is not None
 
@@ -519,7 +594,7 @@ def quant_matmul_pallas_stacked(
     g = p.group_size
     rpg = g // (32 // p.bits)
     n_groups = k // g
-    bn = _stacked_bn(m, p) or min(4096, n)
+    bn = _stacked_bn(m, p) or min(tile_policy("bn_cap"), n)
     gps = n_groups
     combo = _combo_of(p)
     main_groups = (n_groups // gps) * gps

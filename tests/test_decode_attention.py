@@ -1,0 +1,140 @@
+"""Stacked flash-decode attention (ops/decode_attention.py) vs the XLA
+two-piece attention — kernel-level and whole-forward parity on CPU
+(interpret mode), including GQA, per-slot lengths, sliding windows, and the
+block planner's VMEM policy."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitdistiller_tpu.models import TINY_TEST, KVCache, init_params, llama
+from bitdistiller_tpu.models.layers import cached_attention
+from bitdistiller_tpu.ops.decode_attention import _plan_blocks, flash_decode_stacked
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16):
+    return jnp.asarray(rng.normal(size=shape), jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize(
+    "b,hq,hkv,t,hg,bt",
+    [
+        (2, 8, 8, 64, 2, 64),    # MHA, single T-pass
+        (2, 8, 2, 128, 2, 64),   # GQA rep=4, two T-passes (online softmax)
+        (1, 4, 4, 64, 4, 64),    # whole head set in one cell
+    ],
+)
+def test_kernel_matches_xla_attention(b, hq, hkv, t, hg, bt):
+    d, L = 128, 3
+    rng = np.random.default_rng(0)
+    q = _rand(rng, (b, 1, hq, d))
+    ck = _rand(rng, (L, b, hkv, t, d))
+    cv = _rand(rng, (L, b, hkv, t, d))
+    kn = _rand(rng, (b, 1, hkv, d))
+    vn = _rand(rng, (b, 1, hkv, d))
+    start = jnp.asarray(rng.integers(0, t, (b,)), jnp.int32)
+    for li in (0, L - 1):
+        out = flash_decode_stacked(
+            q, ck, cv, jnp.asarray(li, jnp.int32), kn, vn, start,
+            head_group=hg, block_t=bt, interpret=True,
+        )
+        t_idx = jnp.arange(t)[None]
+        mask = jnp.concatenate(
+            [t_idx < start[:, None], jnp.ones((b, 1), bool)], -1
+        )[:, None, None, :]
+        ref = cached_attention(q, ck[li], cv[li], kn, vn, mask)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.03, rtol=0.03,
+        )
+
+
+def test_kernel_sliding_window():
+    b, hkv, t, d, L = 2, 4, 128, 128, 2
+    rng = np.random.default_rng(1)
+    q = _rand(rng, (b, 1, hkv, d))
+    ck = _rand(rng, (L, b, hkv, t, d))
+    cv = _rand(rng, (L, b, hkv, t, d))
+    kn = _rand(rng, (b, 1, hkv, d))
+    vn = _rand(rng, (b, 1, hkv, d))
+    start = jnp.asarray([100, 40], jnp.int32)
+    w = 32
+    out = flash_decode_stacked(
+        q, ck, cv, jnp.asarray(0, jnp.int32), kn, vn, start,
+        window=w, head_group=2, block_t=64, interpret=True,
+    )
+    t_idx = jnp.arange(t)[None]
+    valid = (t_idx < start[:, None]) & (t_idx > start[:, None] - w)
+    mask = jnp.concatenate([valid, jnp.ones((b, 1), bool)], -1)[:, None, None, :]
+    ref = cached_attention(q, ck[0], cv[0], kn, vn, mask)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.03, rtol=0.03,
+    )
+
+
+def test_kernel_empty_cache():
+    """start == 0: the fresh token attends only to itself (softmax of one)."""
+    b, hkv, t, d = 2, 4, 64, 128
+    rng = np.random.default_rng(2)
+    q = _rand(rng, (b, 1, hkv, d))
+    ck = _rand(rng, (1, b, hkv, t, d))
+    cv = _rand(rng, (1, b, hkv, t, d))
+    kn = _rand(rng, (b, 1, hkv, d))
+    vn = _rand(rng, (b, 1, hkv, d))
+    out = flash_decode_stacked(
+        q, ck, cv, jnp.asarray(0, jnp.int32), kn, vn,
+        jnp.zeros((b,), jnp.int32), head_group=4, block_t=64, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(vn, np.float32),
+        atol=0.02, rtol=0.02,
+    )
+
+
+def test_plan_blocks_policy(monkeypatch):
+    """Whole-T single pass when it fits; head group fills the budget; env
+    override reshapes the plan without code edits."""
+    assert _plan_blocks(32, 2048, 128, 2) == (4, 2048)
+    assert _plan_blocks(32, 256, 128, 2) == (32, 256)
+    hg, bt = _plan_blocks(8, 16384, 128, 2)
+    assert bt < 16384 and hg >= 1  # T too big for one pass
+    monkeypatch.setenv("BITDISTILLER_FD_VMEM", "2000000")
+    import importlib
+
+    da = importlib.import_module("bitdistiller_tpu.ops.decode_attention")
+    importlib.reload(da)
+    assert da._plan_blocks(32, 2048, 128, 2)[0] <= 2
+    monkeypatch.delenv("BITDISTILLER_FD_VMEM")
+    importlib.reload(da)
+
+
+def test_flash2_forward_matches_xla_path(monkeypatch):
+    """Whole-model decode step: BITDISTILLER_FLASH2=1 must match the default
+    XLA attention path (logits and cache write-back) at bf16 precision,
+    for scalar and per-slot positions."""
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    B, T = 2, 64
+    cache = KVCache.init(cfg, batch=B, max_len=T, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 8)), jnp.int32)
+    logits, cache = llama.forward(params, cfg, prompt, cache=cache, cache_pos=0)
+    tok = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
+
+    for pos in (8, jnp.asarray([8, 5], jnp.int32)):
+        monkeypatch.setenv("BITDISTILLER_FLASH2", "1")
+        l2, c2 = llama.forward(params, cfg, tok, cache=cache, cache_pos=pos)
+        monkeypatch.setenv("BITDISTILLER_FLASH2", "0")
+        l1, c1 = llama.forward(params, cfg, tok, cache=cache, cache_pos=pos)
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), atol=0.06, rtol=0.06
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1.k, np.float32), np.asarray(c2.k, np.float32),
+            atol=0.03, rtol=0.03,
+        )
