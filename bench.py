@@ -234,8 +234,10 @@ def main():
     ap.add_argument("--train-bs", type=int, default=2,
                     help="train mode: micro-batch size (reference recipe: 2)")
     ap.add_argument("--remat", default="full",
-                    choices=["full", "save_quantized"],
-                    help="train mode: gradient-checkpoint policy")
+                    choices=["full", "save_quantized", "none"],
+                    help="train mode: gradient-checkpoint policy ('none' = "
+                    "no remat; fits at the 0.5B bs-2 recipe, saves the "
+                    "backward's recompute forward)")
     ap.add_argument("--skip-short-row", action="store_true")
     ap.add_argument("--spec-k", type=int, default=4,
                     help="engine --spec: draft length per verify round")
@@ -271,7 +273,8 @@ def main():
         seq, bsz = (1024, args.train_bs) if full else (32, args.train_bs)
         tc = TrainConfig(quant_type=f"int{args.bits}-asym" if args.bits != 3 else "ste-n2f3",
                          q_group_size=128 if full else 32, kd_loss_type="cakld",
-                         gradient_checkpointing=True, remat_policy=args.remat)
+                         gradient_checkpointing=args.remat != "none",
+                         remat_policy=args.remat)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
         # one jitted build: eager init is a remote compile per op on the relay
@@ -303,8 +306,8 @@ def main():
         print(f"  loss {final_loss:.4f}", file=sys.stderr)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
         toks = bsz * seq
-        # teacher fwd 2N + student fwd 2N + bwd 4N + remat re-fwd 2N per token
-        flops = toks * n_params * 10
+        # teacher fwd 2N + student fwd 2N + bwd 4N (+ remat re-fwd 2N) per token
+        flops = toks * n_params * (8 if args.remat == "none" else 10)
         mfu = flops / dt / V5E_BF16_FLOPS
         print(json.dumps({
             "metric": f"CAKLD KD-QAT step, {n_label}, bs {bsz} x {seq}, 1 chip",

@@ -338,6 +338,52 @@ def cached_attention(
     return out.reshape(b, s, hq, d)
 
 
+def flash_train_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    attn_mask: jnp.ndarray | None = None,  # [B, S] padding mask (1 = real)
+) -> jnp.ndarray:
+    """Blockwise causal attention for the TRAINING forward/backward (stock
+    jax pallas TPU flash kernel, differentiable).
+
+    The XLA path (causal_attention) materializes [B, H, S, S] f32 score and
+    prob tensors per layer — ~134 MB/layer at the 0.5B KD recipe (bs 2 x
+    1024), read+written in fwd and again in the remat'd bwd; that HBM
+    traffic dominated the round-3 train-step profile. The flash kernel keeps
+    scores in VMEM blocks. Padding enters as segment ids (pad tokens get
+    segment 0, real tokens 1 — pad rows are excluded from real rows'
+    softmax exactly like the mask path; pad rows' own outputs are garbage
+    either way and sit under label -100).
+
+    Callers gate on: MHA only (the stock kernel has no GQA), no ALiBi/
+    sliding window, S % 128 == 0, D % 128 == 0 (kernel block constraints).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, s, h, d = q.shape
+    seg = None
+    if attn_mask is not None:
+        ids = attn_mask.astype(jnp.int32)
+        seg = SegmentIds(q=ids, kv=ids)
+    # NB on CPU the stock kernel needs pltpu.force_tpu_interpret_mode()
+    # around the WHOLE computation (trace + lowering + run) — tests wrap
+    # their forward calls; the opt-in env gate means CPU never lands here
+    # accidentally.
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=seg,
+        causal=True,
+        sm_scale=1.0 / (d ** 0.5),
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def causal_attention(
     q: jnp.ndarray,  # [B, S, Hq, D]
     k: jnp.ndarray,  # [B, T, Hkv, D]

@@ -30,6 +30,7 @@ from .layers import (
     apply_rope,
     cached_attention,
     causal_attention,
+    flash_train_attention,
     linear,
     rms_norm,
     rope_cos_sin,
@@ -177,6 +178,7 @@ def _block(
     flash_args=None,  # (start [B] int32, window) -> use the Pallas decode kernel
     attn_len: int | None = None,  # static: read only cache[:, :, :attn_len]
     flash2_args=None,  # (ck_full, cv_full, li, start, window, attn_len, interp)
+    train_flash: jnp.ndarray | None | bool = None,  # [B,S] mask | True (no pad)
 ):
     b, s, d = h.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.actual_head_dim
@@ -215,12 +217,17 @@ def _block(
         # ops/decode_attention.py). cache_kv is None in this mode.
         from ..ops.decode_attention import flash_decode_stacked
 
-        ckf, cvf, li2, start2, window2, alen2, interp2 = flash2_args
+        ckf, cvf, ksf, vsf, li2, start2, window2, alen2, interp2 = flash2_args
+        # int8 cache: fresh k/v stay bf16 here (the kernel folds them
+        # unscaled, like cached_attention's sc_new) and `forward` quantizes
+        # them once at the write-back
+        fresh_dtype = k.dtype if ksf is not None else ckf.dtype
         attn = flash_decode_stacked(
-            q, ckf, cvf, li2, k.astype(ckf.dtype), v.astype(cvf.dtype),
-            start2, window=window2, attn_len=alen2, interpret=interp2,
+            q, ckf, cvf, li2, k.astype(fresh_dtype), v.astype(fresh_dtype),
+            start2, k_scale=ksf, v_scale=vsf,
+            window=window2, attn_len=alen2, interpret=interp2,
         )
-        new_cache = (k.astype(ckf.dtype), v.astype(cvf.dtype))
+        new_cache = (k.astype(fresh_dtype), v.astype(fresh_dtype))
     elif cache_kv is not None:
         # Read-only cache + appended fresh k/v: the scan never rewrites the
         # [T_max] cache buffer (a full-cache write per layer per step would
@@ -245,6 +252,13 @@ def _block(
         # once at the single write-back when the cache is int8
         wb_dtype = k.dtype if ks is not None else ck.dtype
         new_cache = (k.astype(wb_dtype), v.astype(wb_dtype))
+    elif train_flash is not None:
+        # training fwd/bwd: blockwise flash attention (no [S, S] score
+        # materialization); `forward` gates the eligibility conditions
+        attn = flash_train_attention(
+            q, k, v, None if train_flash is True else train_flash
+        )
+        new_cache = (k, v) if keep_kv else None
     else:
         attn = causal_attention(
             q, k, v, mask, causal_offset=causal_offset, bias=attn_bias
@@ -459,7 +473,6 @@ def forward(
     flash_ok = (
         cache is not None
         and s == 1
-        and not cache.quantized
         and not cfg.alibi
         and kv_valid is None
         and not per_layer_sliding
@@ -480,7 +493,7 @@ def forward(
     flash_args = None
     if flash2_proto is not None:
         pass
-    elif use_flash_decode and flash_ok:
+    elif use_flash_decode and flash_ok and not cache.quantized:
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash_args = (start_vec, cfg.sliding_window)
     else:
@@ -495,6 +508,24 @@ def forward(
         m = jnp.where(flag, mask_sliding, mask_global)
         return c, si, m
 
+    # Training/prefill flash attention (stock pallas TPU kernel via
+    # layers.flash_train_attention). Eligibility is static: full causal (+
+    # padding) attention, MHA, kernel-friendly S/D. Opt-in while under
+    # evaluation (BITDISTILLER_TRAIN_FLASH=1).
+    train_flash = None
+    if (
+        cache is None
+        and os.environ.get("BITDISTILLER_TRAIN_FLASH", "0") == "1"
+        and s % 128 == 0
+        and cfg.actual_head_dim % 128 == 0
+        and cfg.num_heads == cfg.num_kv_heads
+        and not cfg.alibi
+        and cfg.sliding_window is None
+        and not per_layer_sliding
+        and attn_bias is None
+    ):
+        train_flash = True if attn_mask is None else attn_mask
+
     def body(carry, layer_in):
         hidden = carry
         if cache is not None and flash2_proto is not None:
@@ -505,8 +536,8 @@ def forward(
             new_h, new_kv = _block(
                 cfg, with_packed(lp, li), hidden, cos, sin, None, None,
                 cache_pos, quantizer, attn_bias=attn_bias,
-                flash2_args=(cache.k, cache.v, li, start2, window2, alen2,
-                             interp2),
+                flash2_args=(cache.k, cache.v, cache.k_scale, cache.v_scale,
+                             li, start2, window2, alen2, interp2),
             )
             return new_h, new_kv
         if cache is None:
@@ -517,7 +548,7 @@ def forward(
             c, si, m = select_layer_mode(flag)
             new_h, kv = _block(
                 cfg, with_packed(lp, li), hidden, c, si, m, None, 0, quantizer,
-                keep_kv=return_kv, attn_bias=attn_bias,
+                keep_kv=return_kv, attn_bias=attn_bias, train_flash=train_flash,
             )
             return new_h, kv
         if sliding_flags is not None:

@@ -75,20 +75,21 @@ def _fd2_kernel(
     li_ref,  # scalar prefetch (1,) int32: layer index (used by index_maps)
     start_ref,  # scalar prefetch (B,) int32: per-slot cache lengths
     q_ref,  # (1, hg, rep, D)
-    k_ref,  # (1, 1, hg, bt, D) layer plane block
+    k_ref,  # (1, 1, hg, bt, D) layer plane block (bf16, or int8 codes)
     v_ref,  # (1, 1, hg, bt, D)
-    kn_ref,  # (1, hg, 1, D) fresh key
-    vn_ref,  # (1, hg, 1, D) fresh value
-    o_ref,  # (1, hg, rep, D)
-    m_s,  # VMEM (rows_pad, 128) f32 running max per (g, r) row
-    l_s,  # VMEM (rows_pad, 128) f32 running denom
-    acc_s,  # VMEM (rows_pad, D) f32 running numerator
-    *,
+    *rest,  # [ks_ref, vs_ref: (1, 1, hg, bt) f32] if quantized, then
+    # kn_ref (1, hg, 1, D), vn_ref, o_ref (1, hg, rep, D), scratch m/l/acc
     bt: int,
     hg: int,
     rep: int,
     window: int | None,
+    quantized: bool,
 ):
+    if quantized:
+        ks_ref, vs_ref, kn_ref, vn_ref, o_ref, m_s, l_s, acc_s = rest
+    else:
+        ks_ref = vs_ref = None
+        kn_ref, vn_ref, o_ref, m_s, l_s, acc_s = rest
     it = pl.program_id(2)
     nt = pl.num_programs(2)
     start = start_ref[pl.program_id(0)]
@@ -111,6 +112,11 @@ def _fd2_kernel(
                 q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [rep, bt]
+            if quantized:
+                # per-token scale folds into the TINY score row — the int8
+                # codes are never dequantized in HBM-sized tensors (same
+                # identity as layers.cached_attention: q·(s_t k_t) = s_t(q·k_t))
+                s = s * ks_ref[0, 0, g : g + 1, :]
             t_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (rep, bt), 1)
             valid = t_idx < start
             if window is not None:
@@ -125,11 +131,20 @@ def _fd2_kernel(
             l_new = l_s[r0 : r0 + rep, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0, g],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [rep, D]
+            if quantized:
+                # Σ_t p_t (s_t v_t) = Σ_t (p_t s_t) v_t — scale the prob row
+                pq = (p * vs_ref[0, 0, g : g + 1, :]).astype(jnp.bfloat16)
+                pv = jax.lax.dot_general(
+                    pq, v_ref[0, 0, g].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [rep, D]
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, 0, g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [rep, D]
             acc_s[r0 : r0 + rep, :] = acc_s[r0 : r0 + rep, :] * alpha + pv
             m_s[r0 : r0 + rep, :] = jnp.broadcast_to(
                 m_new, m_s[r0 : r0 + rep, :].shape
@@ -170,6 +185,8 @@ def flash_decode_stacked(
     v_new: jnp.ndarray,
     start: jnp.ndarray,  # [B] int32 per-slot cache lengths
     *,
+    k_scale: jnp.ndarray | None = None,  # [L, B, Hkv, T] f32 — ck is int8
+    v_scale: jnp.ndarray | None = None,
     window: int | None = None,
     attn_len: int | None = None,
     head_group: int | None = None,
@@ -178,12 +195,19 @@ def flash_decode_stacked(
 ) -> jnp.ndarray:
     """Returns [B, 1, Hq, D]; same math as cached_attention at S=1.
 
+    int8 cache (k_scale/v_scale given): the kernel DMAs 1-byte code planes
+    and folds the per-(head, token) scales into the tiny score/prob rows in
+    VMEM — the round-3 finding was that XLA's convert-fused int8 reads
+    stream at only ~0.6x the bf16 GB/s; a plane-block DMA is dtype-blind,
+    so this turns the int8 capacity win into a bytes win.
+
     attn_len (static) bounds the T grid: cache planes past it are never
     DMA'd. Callers must guarantee every start < attn_len."""
     b, s, hq, d = q.shape
     assert s == 1, "flash decode is the S=1 path"
     L, _, hkv, t, _ = ck.shape
     rep = hq // hkv
+    quantized = k_scale is not None
     hg, bt = _plan_blocks(hkv, t, d, ck.dtype.itemsize)
     if head_group is not None:
         hg = head_group
@@ -199,22 +223,30 @@ def flash_decode_stacked(
     rows_pad = max(rows, 8)
 
     kernel = functools.partial(
-        _fd2_kernel, bt=bt, hg=hg, rep=rep, window=window
+        _fd2_kernel, bt=bt, hg=hg, rep=rep, window=window, quantized=quantized
     )
+    plane_spec = pl.BlockSpec(
+        (1, 1, hg, bt, d), lambda i, h, tt, li, st: (li[0], i, h, tt, 0)
+    )
+    scale_spec = pl.BlockSpec(
+        (1, 1, hg, bt), lambda i, h, tt, li, st: (li[0], i, h, tt)
+    )
+    new_spec = pl.BlockSpec((1, hg, 1, d), lambda i, h, tt, li, st: (i, h, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, hg, rep, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
+        plane_spec,
+        plane_spec,
+    ]
+    operands = [qg, ck, cv]
+    if quantized:
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    in_specs += [new_spec, new_spec]
+    operands += [kng, vng]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, hkv // hg, nt),
-        in_specs=[
-            pl.BlockSpec((1, hg, rep, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, hg, bt, d), lambda i, h, tt, li, st: (li[0], i, h, tt, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, hg, bt, d), lambda i, h, tt, li, st: (li[0], i, h, tt, 0)
-            ),
-            pl.BlockSpec((1, hg, 1, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
-            pl.BlockSpec((1, hg, 1, d), lambda i, h, tt, li, st: (i, h, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, hg, rep, d), lambda i, h, tt, li, st: (i, h, 0, 0)
         ),
@@ -240,6 +272,6 @@ def flash_decode_stacked(
     )(
         jnp.reshape(li, (1,)).astype(jnp.int32),
         start.astype(jnp.int32),
-        qg, ck, cv, kng, vng,
+        *operands,
     )
     return out.reshape(b, 1, hq, d)

@@ -52,9 +52,15 @@ def main():
     rng = np.random.default_rng(0)
     print(f"plane set: {L} layers x {2*B*HKV*T*D*2/1e9:.2f} GB", file=sys.stderr)
 
-    kv_bf16 = jnp.asarray(
-        rng.normal(size=(L, 2 * B * HKV, T, D)), np.float32
-    ).astype(jnp.bfloat16)
+    # generate ON DEVICE — a ~1 GB host->device upload stalls for minutes
+    # on the relay (same lesson as bench.py's jitted param build)
+    kv_bf16 = jax.jit(
+        lambda k: jax.random.normal(
+            k, (L, 2 * B * HKV, T, D), jnp.bfloat16
+        )
+    )(jax.random.key(0))
+    jax.block_until_ready(kv_bf16)
+    print("kv planes materialized on device", file=sys.stderr)
     total_bytes = kv_bf16.size * 2
 
     @jax.jit
@@ -66,7 +72,10 @@ def main():
     dt, cv = timed_chain(sum_bf16, kv_bf16)
     print(f"xla-sum-bf16:  {total_bytes/dt/1e9:7.1f} GB/s  ({dt*1e3:.2f} ms)  [{cv:.4f}]")
 
-    kv_int8 = (kv_bf16.astype(jnp.float32) * 10).astype(jnp.int8)
+    kv_int8 = jax.jit(
+        lambda x: (x.astype(jnp.float32) * 10).astype(jnp.int8)
+    )(kv_bf16)
+    jax.block_until_ready(kv_int8)
 
     @jax.jit
     def sum_int8(x, c):

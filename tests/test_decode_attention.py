@@ -96,6 +96,63 @@ def test_kernel_empty_cache():
     )
 
 
+def test_kernel_int8_cache_scale_folding():
+    """int8 code planes + per-(head, token) scales must match the XLA
+    cached_attention's fold-into-scores formulation."""
+    b, hkv, t, d, L = 2, 4, 128, 128, 2
+    rng = np.random.default_rng(3)
+    kf = _rand(rng, (L, b, hkv, t, d), jnp.float32)
+    vf = _rand(rng, (L, b, hkv, t, d), jnp.float32)
+    # quantize per (head, token) like models.llama.quantize_kv
+    ks = jnp.max(jnp.abs(kf), axis=-1) / 127.0 + 1e-8
+    vs = jnp.max(jnp.abs(vf), axis=-1) / 127.0 + 1e-8
+    ck = jnp.round(kf / ks[..., None]).astype(jnp.int8)
+    cv = jnp.round(vf / vs[..., None]).astype(jnp.int8)
+    q = _rand(rng, (b, 1, hkv, d))
+    kn = _rand(rng, (b, 1, hkv, d))
+    vn = _rand(rng, (b, 1, hkv, d))
+    start = jnp.asarray([100, 40], jnp.int32)
+    out = flash_decode_stacked(
+        q, ck, cv, jnp.asarray(1, jnp.int32), kn, vn, start,
+        k_scale=ks, v_scale=vs, head_group=2, block_t=64, interpret=True,
+    )
+    t_idx = jnp.arange(t)[None]
+    mask = jnp.concatenate(
+        [t_idx < start[:, None], jnp.ones((b, 1), bool)], -1
+    )[:, None, None, :]
+    ref = cached_attention(
+        q, ck[1], cv[1], kn, vn, mask,
+        k_scale=ks[1].astype(jnp.float32), v_scale=vs[1].astype(jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+
+
+def test_flash2_forward_int8_cache(monkeypatch):
+    """Whole-model decode with an int8 KV cache: flash2 must track the XLA
+    scale-folding path, including the quantized write-back."""
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    B, T = 2, 64
+    cache = KVCache.init(cfg, batch=B, max_len=T, dtype=jnp.int8)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 8)), jnp.int32)
+    logits, cache = llama.forward(params, cfg, prompt, cache=cache, cache_pos=0)
+    tok = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
+    monkeypatch.setenv("BITDISTILLER_FLASH2", "1")
+    l2, c2 = llama.forward(params, cfg, tok, cache=cache, cache_pos=8)
+    monkeypatch.setenv("BITDISTILLER_FLASH2", "0")
+    l1, c1 = llama.forward(params, cfg, tok, cache=cache, cache_pos=8)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.08, rtol=0.08)
+    assert c2.k.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(c1.k, np.float32), np.asarray(c2.k, np.float32),
+        atol=1, rtol=0,  # int8 codes; write-back rounding may differ by 1 ulp
+    )
+
+
 def test_plan_blocks_policy(monkeypatch):
     """Whole-T single pass when it fits; head group fills the budget; env
     override reshapes the plan without code edits."""
