@@ -261,13 +261,16 @@ def main():
         from bitdistiller_tpu.train import TrainConfig, init_train_state, make_train_step
 
         full = args.layers >= 16  # --layers < 16 = smoke-test scale
+        # 12 heads x head_dim 128 (not 16 x 96): identical param count and
+        # FLOPs, but head_dim 128 is lane-aligned and satisfies the training
+        # flash-attention gate (BITDISTILLER_TRAIN_FLASH=1 engages here)
         cfg = ModelConfig(
             vocab_size=32000 if full else 256,
             hidden_size=1536 if full else 64,
             intermediate_size=4096 if full else 128,
             num_layers=16 if full else args.layers,
-            num_heads=16 if full else 4,
-            num_kv_heads=16 if full else 4,
+            num_heads=12 if full else 4,
+            num_kv_heads=12 if full else 4,
             max_position_embeddings=2048,
         )
         seq, bsz = (1024, args.train_bs) if full else (32, args.train_bs)

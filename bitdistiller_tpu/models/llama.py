@@ -479,10 +479,24 @@ def forward(
     )
     # Second-generation stacked flash-decode (ops/decode_attention.py): the
     # cache stays OUT of the scan xs (no per-layer slice copy) and the kernel
-    # streams whole head-group [T, D] planes. Opt-in via BITDISTILLER_FLASH2=1
-    # while under evaluation vs the XLA two-piece attention.
+    # streams whole head-group [T, D] planes. DEFAULT on TPU — measured wins
+    # over the XLA two-piece attention in every decode config (round 4:
+    # bf16 headline 444.2 vs 441.7 tok/s; int8-KV batch 16 800.6 vs 569.8 =
+    # +40%, the int8 planes stream at full bandwidth instead of ~0.6x).
+    # BITDISTILLER_FLASH2=0 restores the XLA path; =1 forces it on CPU
+    # (interpret mode — tests only).
+    flash2_env = os.environ.get("BITDISTILLER_FLASH2")
+    flash2_on = (
+        flash2_env == "1"
+        or (flash2_env is None and jax.default_backend() == "tpu")
+    )
     flash2_proto = None
-    if flash_ok and os.environ.get("BITDISTILLER_FLASH2", "0") == "1":
+    if (
+        flash_ok
+        and flash2_on
+        # int8 cache: the kernel's scale-plane block needs hkv % 8 == 0
+        and (not cache.quantized or cfg.num_kv_heads % 8 == 0)
+    ):
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash2_proto = (
             start_vec, cfg.sliding_window, attn_len,

@@ -51,23 +51,28 @@ _KV_VMEM_BUDGET = int(os.environ.get("BITDISTILLER_FD_VMEM", 11_800_000))
 
 
 def _plan_blocks(hkv: int, t: int, d: int, itemsize: int,
-                 budget: int = None) -> tuple[int, int]:
+                 budget: int = None, quantized: bool = False) -> tuple[int, int]:
     """Pick (head_group hg, T-block bt): whole-T single pass if it fits,
-    then as many heads per cell as the double-buffered budget allows."""
+    then the measured-fastest head group for the dtype."""
     budget = budget or _KV_VMEM_BUDGET
-    per_head_plane = t * d * itemsize  # one K plane; V doubles it
     bt = t
     # shrink the T block until one head's double-buffered K+V fits
     while 4 * bt * d * itemsize > budget and bt > 256:
         bt = (bt + 1) // 2
-    hg = 1
-    while (
-        hg * 2 <= hkv
-        and hkv % (hg * 2) == 0
-        and 4 * (hg * 2) * bt * d * itemsize <= budget
-    ):
-        hg *= 2
-    del per_head_plane
+    if quantized:
+        # the [.., hg, bt] scale-plane block needs its last two dims to be
+        # (8k, 128k) for the TPU lowering; hg=8 streams the int8 codes at
+        # 731.9 GB/s of ACTUAL bytes (1419 GB/s bf16-equivalent, round-4
+        # slope probe) — full bandwidth, so no need to search further.
+        # Callers gate on hkv % 8 == 0 (llama.forward falls back to the XLA
+        # attention otherwise).
+        hg = 8
+    else:
+        # hg=2 measured fastest on v5e (744.8 GB/s vs 712 at hg=4, 732 at
+        # hg=1, T=2048 whole-plane blocks — round-4 slope probe): small
+        # cells keep the grid deep enough for Mosaic's input double-
+        # buffering to fully overlap the DMAs.
+        hg = 2 if hkv % 2 == 0 and 4 * 2 * bt * d * itemsize <= budget else 1
     return hg, bt
 
 
@@ -208,7 +213,13 @@ def flash_decode_stacked(
     L, _, hkv, t, _ = ck.shape
     rep = hq // hkv
     quantized = k_scale is not None
-    hg, bt = _plan_blocks(hkv, t, d, ck.dtype.itemsize)
+    if quantized and hkv % 8 != 0 and head_group is None:
+        raise ValueError(
+            "int8-KV flash decode needs hkv % 8 == 0 (the scale-plane block "
+            f"is [hg, bt] with hg=8); got hkv={hkv}. Callers should fall "
+            "back to the XLA attention path."
+        )
+    hg, bt = _plan_blocks(hkv, t, d, ck.dtype.itemsize, quantized=quantized)
     if head_group is not None:
         hg = head_group
     if block_t is not None:

@@ -154,10 +154,13 @@ def test_flash2_forward_int8_cache(monkeypatch):
 
 
 def test_plan_blocks_policy(monkeypatch):
-    """Whole-T single pass when it fits; head group fills the budget; env
+    """Whole-T single pass when it fits; hg=2 for bf16 planes (the measured
+    v5e optimum), hg=8 for int8 (the scale-plane lowering minimum); env
     override reshapes the plan without code edits."""
-    assert _plan_blocks(32, 2048, 128, 2) == (4, 2048)
-    assert _plan_blocks(32, 256, 128, 2) == (32, 256)
+    assert _plan_blocks(32, 2048, 128, 2) == (2, 2048)
+    assert _plan_blocks(32, 256, 128, 2) == (2, 256)
+    assert _plan_blocks(32, 2048, 128, 1, quantized=True) == (8, 2048)
+    assert _plan_blocks(3, 2048, 128, 2) == (1, 2048)  # odd hkv
     hg, bt = _plan_blocks(8, 16384, 128, 2)
     assert bt < 16384 and hg >= 1  # T too big for one pass
     monkeypatch.setenv("BITDISTILLER_FD_VMEM", "2000000")
