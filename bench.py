@@ -130,8 +130,7 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
         logits, cache = llama.forward(params, cfg, tokens, cache=cache, cache_pos=0)
         return logits[:, -1].argmax(-1).astype(jnp.int32), cache
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def decode_step(params, cache, tokens, pos, acc):
+    def _one_step(params, cache, tokens, pos, acc):
         logits, cache = llama.forward(
             params, cfg, tokens[:, None], cache=cache, cache_pos=pos
         )
@@ -142,17 +141,41 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
         acc = acc * 1.000001 + logits[0, -1, pos % cfg.vocab_size].astype(jnp.float32)
         return tok, cache, acc
 
+    scan_k = max(getattr(args, "scan_steps", 1), 1)
+    if scan_k > 1:
+        # K true decode steps per dispatch (each feeds the next token, same
+        # semantics as the engine's decode-horizon scan, serve/engine.py:
+        # _decode_impl): isolates the chip from the relay's fixed ~2.8 ms
+        # per-dispatch overhead, which single-step dispatch pays per TOKEN
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache, tokens, pos, acc):
+            def body(carry, _):
+                tokens, cache, pos, acc = carry
+                tok, cache, acc = _one_step(params, cache, tokens, pos, acc)
+                return (tok, cache, pos + 1, acc), None
+
+            (tokens, cache, pos, acc), _ = jax.lax.scan(
+                body, (tokens, cache, pos, acc), None, length=scan_k
+            )
+            return tokens, cache, acc
+    else:
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache, tokens, pos, acc):
+            return _one_step(params, cache, tokens, pos, acc)
+
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch, 64)), jnp.int32)
     tok, cache = prefill(params, cache, prompt)
     tok.block_until_ready()
 
+    n_disp = max(steps // scan_k, 1)
+    steps = n_disp * scan_k
     start_pos = cache_len - steps - 8  # decode near full context
     pos = jnp.asarray(start_pos, jnp.int32)
     acc = jnp.zeros((), jnp.float32)
     tok, cache, acc = decode_step(params, cache, tok, pos, acc)
     for _ in range(3):  # warm + pay the relay first-transfer outside timing
         tok, cache, acc = decode_step(params, cache, tok, pos, acc)
-        pos = pos + 1
+        pos = pos + scan_k
     float(acc)
 
     def one_pass(tok, cache, acc):
@@ -160,9 +183,9 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
         # pos is a traced arg so this does not recompile
         pos = jnp.asarray(start_pos, jnp.int32)
         t0 = time.time()
-        for _ in range(steps):
+        for _ in range(n_disp):
             tok, cache, acc = decode_step(params, cache, tok, pos, acc)
-            pos = pos + 1
+            pos = pos + scan_k
         checksum = float(acc)  # forces completion of the whole step chain
         dt = (time.time() - t0) / steps
         print(f"  checksum {checksum:.4f}  pass {dt*1e3:.2f} ms/step", file=sys.stderr)
@@ -225,20 +248,36 @@ def main():
                     choices=["decode", "prefill", "engine", "train", "serve"],
                     default="decode")
     ap.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--scan-steps", type=int, default=1,
+                    help="decode mode: true decode steps per dispatch "
+                    "(lax.scan, engine-horizon style); >1 removes the "
+                    "relay's fixed per-dispatch overhead from the timing")
     ap.add_argument("--horizon", type=int, default=16,
                     help="engine mode: decode steps per host sync")
     ap.add_argument("--pipeline", action="store_true",
                     help="engine mode: speculative round pipelining (for "
                     "direct-attached hosts; regresses on the relay)")
     ap.add_argument("--prefill-len", type=int, default=512)
+    ap.add_argument("--no-attn-mask", action="store_true",
+                    help="train mode: drop the all-ones attention_mask "
+                    "(packed-batch semantics; enables the causal-only flash "
+                    "path under BITDISTILLER_TRAIN_FLASH=1)")
     ap.add_argument("--train-bs", type=int, default=2,
                     help="train mode: micro-batch size (reference recipe: 2)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="train mode: gradient-accumulation steps (the "
+                    "reference recipe trains at micro-bs 2 x accum 8, "
+                    "train.sh:29-37; amortizes the AdamW state sweep)")
     ap.add_argument("--remat", default="full",
-                    choices=["full", "save_quantized", "none"],
+                    choices=["full", "save_quantized", "save_dots", "none"],
                     help="train mode: gradient-checkpoint policy ('none' = "
                     "no remat; fits at the 0.5B bs-2 recipe, saves the "
                     "backward's recompute forward)")
     ap.add_argument("--skip-short-row", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="wrap the timed loop in a jax.profiler trace "
+                    "written to DIR (parse the vm.trace.json.gz device-pid "
+                    "events; works over the relay)")
     ap.add_argument("--spec-k", type=int, default=4,
                     help="engine --spec: draft length per verify round")
     ap.add_argument("--spec", action="store_true",
@@ -277,7 +316,8 @@ def main():
         tc = TrainConfig(quant_type=f"int{args.bits}-asym" if args.bits != 3 else "ste-n2f3",
                          q_group_size=128 if full else 32, kd_loss_type="cakld",
                          gradient_checkpointing=args.remat != "none",
-                         remat_policy=args.remat)
+                         remat_policy=args.remat,
+                         grad_accum=args.grad_accum)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
         # one jitted build: eager init is a remote compile per op on the relay
@@ -295,30 +335,59 @@ def main():
             "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (bsz, seq)), jnp.int32),
             "attention_mask": jnp.ones((bsz, seq), jnp.int32),
         }
+        if args.no_attn_mask:
+            # packed/unpadded batches have no mask; lets TRAIN_FLASH take the
+            # pure-causal kernel path instead of segment-ids
+            del batch["attention_mask"]
         beta = jnp.asarray(0.5)
         state, metrics = step(state, batch, beta, teacher)
         float(metrics["loss"])  # warm + first-transfer
         n_iter = max(args.steps // 10, 5)
+        if args.grad_accum > 1:
+            # time a whole number of optimizer cycles: accumulation
+            # micro-steps skip the AdamW update (reference recipe:
+            # train.sh --gradient_accumulation_steps 8), so only every
+            # k-th step pays the ~f32-state HBM sweep
+            n_iter = max(n_iter // args.grad_accum, 1) * args.grad_accum
+        import contextlib
+
+        if args.profile:
+            prof_ctx = jax.profiler.trace(args.profile)
+            n_iter = min(n_iter, 3)  # a few steps are plenty for a trace
+        else:
+            prof_ctx = contextlib.nullcontext()
         t0 = time.time()
         loss = None
-        for _ in range(n_iter):
-            state, metrics = step(state, batch, beta, teacher)
-            loss = metrics["loss"]
-        final_loss = float(loss)  # syncs the whole chain
+        with prof_ctx:
+            for _ in range(n_iter):
+                state, metrics = step(state, batch, beta, teacher)
+                loss = metrics["loss"]
+            final_loss = float(loss)  # syncs the whole chain
         dt = (time.time() - t0) / n_iter
         print(f"  loss {final_loss:.4f}", file=sys.stderr)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
         toks = bsz * seq
-        # teacher fwd 2N + student fwd 2N + bwd 4N (+ remat re-fwd 2N) per token
-        flops = toks * n_params * (8 if args.remat == "none" else 10)
-        mfu = flops / dt / V5E_BF16_FLOPS
+        # MFU counts USEFUL model flops only (PaLM-style): teacher fwd 2N +
+        # student fwd 2N + bwd 4N per token — remat recompute is overhead,
+        # not progress, so saving it shows up as an MFU gain. HFU adds the
+        # recompute the chip actually executed (full/save_quantized remat
+        # re-run the layer matmuls: +2N; save_dots/none do not).
+        mfu = toks * n_params * 8 / dt / V5E_BF16_FLOPS
+        hfu = toks * n_params * (
+            10 if args.remat in ("full", "save_quantized") else 8
+        ) / dt / V5E_BF16_FLOPS
         print(json.dumps({
-            "metric": f"CAKLD KD-QAT step, {n_label}, bs {bsz} x {seq}, 1 chip",
+            "metric": (
+                f"CAKLD KD-QAT step, {n_label}, bs {bsz} x {seq}"
+                + (f" x accum {args.grad_accum}" if args.grad_accum > 1 else "")
+                + ", 1 chip"
+            ),
             "value": round(toks / dt, 1),
             "unit": "tokens/s",
             "vs_baseline": round(mfu, 4),  # = MFU (compute-bound target)
             "ms_per_step": round(dt * 1e3, 1),
             "mfu": round(mfu, 4),
+            "hfu": round(hfu, 4),
         }))
         return
 
@@ -604,6 +673,7 @@ def main():
             f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, "
             f"cache {args.cache_len}"
             + (", int8 KV" if args.kv_dtype == "int8" else "")
+            + (f", {args.scan_steps}-step dispatch" if args.scan_steps > 1 else "")
             + ", 1 chip"
         ),
         "value": round(tps, 1),

@@ -355,11 +355,15 @@ def build_parser():
                     help="0: replicated opt state; 2: dp-sharded Adam moments; "
                          "3: fsdp-sharded params + moments (zero3.json parity)")
     tr.add_argument("--remat_policy", default="full",
-                    choices=["full", "save_quantized"],
+                    choices=["full", "save_quantized", "save_dots"],
                     help="gradient-checkpoint policy: save_quantized keeps "
                     "the fake-quantized weights live across the backward "
                     "(measured -11 ms/step at 0.5B bs8; costs one extra "
-                    "weight copy — avoid with ZeRO-3 fsdp-sharded params)")
+                    "weight copy — avoid with ZeRO-3 fsdp-sharded params); "
+                    "save_dots additionally keeps every projection/MLP "
+                    "output (the backward recomputes only elementwise glue "
+                    "— measured -8 ms/step at 0.5B bs2; costs ~activation "
+                    "memory on top)")
     tr.add_argument("--param_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"],
                     help="student latent dtype; bfloat16 keeps f32 master "

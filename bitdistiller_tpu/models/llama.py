@@ -309,7 +309,7 @@ def forward(
     kv_valid: Optional[jnp.ndarray] = None,  # [B, T] bool — engine-provided
     attn_len: Optional[int] = None,  # static: read only cache[:attn_len]
     attn_mask: Optional[jnp.ndarray] = None,  # [B, S] padding mask (training)
-    remat: bool = False,
+    remat: bool | str = False,  # True/"full" | "save_quantized" | "save_dots"
     return_kv: bool = False,  # cache-less mode: also return per-layer k/v
     logits_dtype=jnp.float32,
     use_flash_decode: bool | None = None,  # None = auto (TPU, S=1 decode)
@@ -585,6 +585,20 @@ def forward(
             body = jax.checkpoint(
                 body, prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names("qweight"),
+            )
+        elif remat == "save_dots":
+            # save every non-batched matmul output (the projections/MLP —
+            # NOT the [B,H,S,S] attention scores, which are batched dots and
+            # would blow the budget) plus the fake-quantized weights: the
+            # backward recomputes only elementwise glue, so the step does
+            # ~8N useful flops instead of 10N, at ~(activations + one weight
+            # copy) extra HBM vs "full"
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("qweight"),
+                ),
             )
         else:
             body = jax.checkpoint(body, prevent_cse=False)

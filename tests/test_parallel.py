@@ -148,7 +148,10 @@ def test_zero2_moments_dp_sharded(tiny):
 
 
 def test_zero2_with_grad_accum_multisteps(tiny):
-    """optax.MultiSteps wraps the chain; its acc_grads must also shard."""
+    """grad_accum > 1 with bf16 latents takes the fused
+    with_f32_master_accum path — its f32 master/acc buffers must also
+    shard over dp (and MultiSteps' acc_grads likewise on the f32-latent
+    path, which make_optimizer still uses for param_dtype=float32)."""
     from bitdistiller_tpu.train import TrainConfig, init_train_state
 
     cfg, params = tiny

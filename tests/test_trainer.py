@@ -104,6 +104,36 @@ def test_grad_accum_steps(setup):
     assert np.abs(p2 - p0).sum() > 0  # second microstep applies
 
 
+def test_grad_accum_fused_matches_plain_step(setup):
+    """The fused f32-master accumulation path (with_f32_master_accum —
+    bf16 latents + grad_accum > 1) must land exactly where a plain step
+    lands when every micro-batch is identical: acc = k*g and mean = g are
+    exact in f32, clipping/Adam run once on the mean, so the cycle end is
+    bit-identical to grad_accum=1 on the same batch."""
+    from bitdistiller_tpu.train.trainer import MasterAccumState
+
+    cfg, teacher, student, tc, batch = setup
+    beta = jnp.asarray(0.5)
+
+    tc_acc = TrainConfig(**{**tc.__dict__, "grad_accum": 2})
+    step_acc = jax.jit(make_train_step(cfg, tc_acc, teacher_params=teacher))
+    state_acc = init_train_state(student, tc_acc)
+    assert isinstance(state_acc.opt_state, MasterAccumState)
+    state_acc, _ = step_acc(state_acc, batch, beta)
+    state_acc, _ = step_acc(state_acc, batch, beta)
+    assert int(state_acc.opt_state.count) == 0  # cycle closed
+
+    tc_one = TrainConfig(**{**tc.__dict__, "grad_accum": 1})
+    step_one = jax.jit(make_train_step(cfg, tc_one, teacher_params=teacher))
+    state_one = init_train_state(student, tc_one)
+    state_one, _ = step_one(state_one, batch, beta)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state_acc.params, state_one.params,
+    )
+
+
 def test_data_pipeline(tmp_path):
     import json
 
@@ -247,21 +277,24 @@ def test_init_train_state_never_aliases_input(setup):
 
 
 def test_remat_policy_save_quantized_identical(setup):
-    """remat_policy='save_quantized' only changes WHAT the backward saves —
-    loss and gradients must be bit-identical to the full-recompute policy."""
+    """Checkpoint policies ('save_quantized' keeps the fake-quant weights,
+    'save_dots' keeps all projection/MLP outputs) only change WHAT the
+    backward saves — loss and gradients must be bit-identical to the
+    full-recompute policy."""
     import dataclasses
 
     cfg, teacher, student, tc, batch = setup
     beta = jnp.asarray(0.6)
     results = {}
-    for policy in ("full", "save_quantized"):
+    for policy in ("full", "save_quantized", "save_dots"):
         tc_p = dataclasses.replace(tc, remat_policy=policy)
         step = jax.jit(make_train_step(cfg, tc_p))
         state = init_train_state(student, tc_p)
         new_state, metrics = step(state, batch, beta, teacher)
         results[policy] = (float(metrics["loss"]), new_state.params)
-    assert results["full"][0] == results["save_quantized"][0]
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
-        results["full"][1], results["save_quantized"][1],
-    )
+    for policy in ("save_quantized", "save_dots"):
+        assert results["full"][0] == results[policy][0], policy
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            results["full"][1], results[policy][1],
+        )
