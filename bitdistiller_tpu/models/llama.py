@@ -313,6 +313,10 @@ def forward(
     return_kv: bool = False,  # cache-less mode: also return per-layer k/v
     logits_dtype=jnp.float32,
     use_flash_decode: bool | None = None,  # None = auto (TPU, S=1 decode)
+    flash2: bool | None = None,  # explicit flash_decode_stacked override
+    # (beats the BITDISTILLER_FLASH2 env); the engine turns it OFF inside
+    # its horizon scans — a pallas consumer inside an outer lax.scan
+    # re-materializes per iteration (+3.2 ms/step measured at 7B)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder. Returns (logits [B, S, V], updated cache / prompt KV).
 
@@ -486,10 +490,13 @@ def forward(
     # BITDISTILLER_FLASH2=0 restores the XLA path; =1 forces it on CPU
     # (interpret mode — tests only).
     flash2_env = os.environ.get("BITDISTILLER_FLASH2")
-    flash2_on = (
-        flash2_env == "1"
-        or (flash2_env is None and jax.default_backend() == "tpu")
-    )
+    if flash2 is not None:
+        flash2_on = flash2
+    else:
+        flash2_on = (
+            flash2_env == "1"
+            or (flash2_env is None and jax.default_backend() == "tpu")
+        )
     flash2_proto = None
     if (
         flash_ok

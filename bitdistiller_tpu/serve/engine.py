@@ -102,6 +102,7 @@ class Engine:
         spec_k: int = 4,
         spec_ngram: int = 2,
         spec_history: int = 512,
+        flash2_in_scan: bool | None = None,
     ):
         from ..ops.quant_matmul import maybe_repack_a8
 
@@ -151,6 +152,21 @@ class Engine:
         self.cache_buckets = _buckets(max_len, factor=cache_bucket_factor)
         first_len = self.cache_buckets[0] if grow_cache else max_len
         self.cache = KVCache.init(cfg, max_slots, first_len, cache_dtype)
+        # flash2 inside the horizon scan: a pallas consumer inside an outer
+        # lax.scan re-materializes per iteration (+3.2 ms/step at 7B bf16,
+        # engine E2E 761 -> 512 tok/s measured), so the scanned decode
+        # defaults to the XLA two-piece attention for bf16 caches. int8
+        # caches keep the kernel: XLA's convert-fused int8 reads stream at
+        # ~0.6x wire rate, which costs more than the scan penalty at
+        # serving context lengths.
+        import os as _os
+
+        self.flash2_in_scan = (
+            flash2_in_scan if flash2_in_scan is not None
+            else bool(self.cache.quantized)
+            and jax.default_backend() == "tpu"
+            and _os.environ.get("BITDISTILLER_FLASH2") != "0"
+        )
         self._grow_fns: dict = {}
         self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
         # speculative decoding via n-gram lookup (no draft model): each
@@ -349,7 +365,8 @@ class Engine:
             tokens, cache, pos, prev_tokens, key = carry
             key, sub = jax.random.split(key)
             logits, cache = llama.forward(
-                params, self.cfg, tokens[:, None], cache=cache, cache_pos=pos
+                params, self.cfg, tokens[:, None], cache=cache, cache_pos=pos,
+                flash2=self.flash2_in_scan,
             )
             if custom:  # per-slot sampling vectors (mixed request settings)
                 next_tok = sample_tokens_batched(
