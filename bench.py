@@ -119,6 +119,17 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
     kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
     cache = KVCache.init(cfg, batch=args.batch, max_len=cache_len, dtype=kv_dtype)
     rng = np.random.default_rng(0)
+    scan_k = max(getattr(args, "scan_steps", 1), 1)
+    # --flash2 auto: single-step dispatch leaves llama.forward's own default
+    # (flash2 on TPU); scanned dispatch mirrors the ENGINE's policy
+    # (Engine.flash2_in_scan: XLA attention for bf16 caches inside an outer
+    # scan, flash2 for int8) so scan-steps timings measure a configuration
+    # the engine actually runs.
+    f2 = getattr(args, "flash2", "auto")
+    if f2 == "auto":
+        flash2_arg = None if scan_k == 1 else (kv_dtype == jnp.int8)
+    else:
+        flash2_arg = f2 == "1"
 
     # The cache is DONATED: at cache 2048 an undonated step must allocate a
     # second 8.6 GB cache for the write-back (OOM) and copy the whole buffer
@@ -132,7 +143,8 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
 
     def _one_step(params, cache, tokens, pos, acc):
         logits, cache = llama.forward(
-            params, cfg, tokens[:, None], cache=cache, cache_pos=pos
+            params, cfg, tokens[:, None], cache=cache, cache_pos=pos,
+            flash2=flash2_arg,
         )
         tok = logits[:, -1].argmax(-1).astype(jnp.int32)
         # running checksum ties every step's logits into the final fetched
@@ -141,7 +153,6 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
         acc = acc * 1.000001 + logits[0, -1, pos % cfg.vocab_size].astype(jnp.float32)
         return tok, cache, acc
 
-    scan_k = max(getattr(args, "scan_steps", 1), 1)
     if scan_k > 1:
         # K true decode steps per dispatch (each feeds the next token, same
         # semantics as the engine's decode-horizon scan, serve/engine.py:
@@ -195,6 +206,19 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
     for _ in range(passes):
         dt, tok, cache, acc = one_pass(tok, cache, acc)
         dts.append(dt)
+    if getattr(args, "profile", None):
+        # one extra (untimed) pass under a profiler trace; a few dispatches
+        # are plenty and keep the trace file small over the relay
+        import pathlib
+
+        pdir = pathlib.Path(args.profile) / f"decode_c{cache_len}"
+        with jax.profiler.trace(str(pdir)):
+            pos = jnp.asarray(start_pos, jnp.int32)
+            for _ in range(min(n_disp, max(8 // scan_k, 2))):
+                tok, cache, acc = decode_step(params, cache, tok, pos, acc)
+                pos = pos + scan_k
+            float(acc)
+        print(f"  profile trace -> {pdir}", file=sys.stderr)
     # a pass >2x the best is a stall (relay hiccup, contention) — re-run it
     # once rather than letting it drag the median
     retries = passes
@@ -252,6 +276,11 @@ def main():
                     help="decode mode: true decode steps per dispatch "
                     "(lax.scan, engine-horizon style); >1 removes the "
                     "relay's fixed per-dispatch overhead from the timing")
+    ap.add_argument("--flash2", choices=["auto", "0", "1"], default="auto",
+                    help="decode mode: flash_decode_stacked override. auto = "
+                    "llama.forward's default for single-step dispatch, the "
+                    "engine's flash2_in_scan policy (bf16->XLA, int8->flash2) "
+                    "for --scan-steps>1")
     ap.add_argument("--horizon", type=int, default=16,
                     help="engine mode: decode steps per host sync")
     ap.add_argument("--pipeline", action="store_true",

@@ -5,9 +5,11 @@ against the shipping path — and lost (numbers in NOTES_NEXT_ROUND.md /
 PARITY.md). They stay importable for re-testing on new hardware or Mosaic
 releases, behind explicit opt-ins:
 
-- flash_decode: Pallas online-softmax decode attention. Whole-model 23.7 ms
-  vs 14.8 ms for XLA's two-piece attention at 7B cache-2048 on v5e. Opt-in:
-  llama.forward(use_flash_decode=True) (auto only on TPU with attn_len set).
+- flash_decode: first-generation per-layer Pallas online-softmax decode
+  attention. Whole-model 23.7 ms vs 14.8 ms for XLA's two-piece attention at
+  7B cache-2048 on v5e; superseded by the stacked kernel
+  (ops/decode_attention.py), which owns the hot path. RETIRED to tests-only
+  (tests/test_pallas_kernels.py) — no model wiring remains.
 - fused_mlp: single-launch gate/up/down Pallas MLP. The 4-launch XLA path
   measured faster at decode shapes. Opt-in: direct import (no model hook).
 

@@ -175,8 +175,6 @@ def _block(
     keep_kv: bool = False,
     attn_bias: jnp.ndarray | None = None,  # ALiBi [B, Hq, S, T(+S)]
     linear_fn=None,  # (name, leaf, x) -> y hook; AutoClip capture plugs in here
-    flash_args=None,  # (start [B] int32, window) -> use the Pallas decode kernel
-    attn_len: int | None = None,  # static: read only cache[:, :, :attn_len]
     flash2_args=None,  # (ck_full, cv_full, li, start, window, attn_len, interp)
     train_flash: jnp.ndarray | None | bool = None,  # [B,S] mask | True (no pad)
 ):
@@ -234,20 +232,11 @@ def _block(
         # dominate decode bandwidth); the new tokens are written back once
         # after the scan by `forward`.
         ck, cv, ks, vs = cache_kv
-        if flash_args is not None:  # flash kernel reads bf16 caches only
-            from ..experimental.flash_decode import flash_decode_attention
-
-            start, window = flash_args
-            attn = flash_decode_attention(
-                q, ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), start,
-                window=window, attn_len=attn_len,
-            )
-        else:
-            fresh_dtype = k.dtype if ks is not None else ck.dtype
-            attn = cached_attention(
-                q, ck, cv, k.astype(fresh_dtype), v.astype(fresh_dtype), mask,
-                bias=attn_bias, k_scale=ks, v_scale=vs,
-            )
+        fresh_dtype = k.dtype if ks is not None else ck.dtype
+        attn = cached_attention(
+            q, ck, cv, k.astype(fresh_dtype), v.astype(fresh_dtype), mask,
+            bias=attn_bias, k_scale=ks, v_scale=vs,
+        )
         # fresh tokens stay full-precision here; `forward` quantizes them
         # once at the single write-back when the cache is int8
         wb_dtype = k.dtype if ks is not None else ck.dtype
@@ -312,7 +301,6 @@ def forward(
     remat: bool | str = False,  # True/"full" | "save_quantized" | "save_dots"
     return_kv: bool = False,  # cache-less mode: also return per-layer k/v
     logits_dtype=jnp.float32,
-    use_flash_decode: bool | None = None,  # None = auto (TPU, S=1 decode)
     flash2: bool | None = None,  # explicit flash_decode_stacked override
     # (beats the BITDISTILLER_FLASH2 env); the engine turns it OFF inside
     # its horizon scans — a pallas consumer inside an outer lax.scan
@@ -322,15 +310,15 @@ def forward(
 
     cache_pos may be a vector of per-sequence positions (continuous batching:
     every slot decodes at its own length). Single-token decode on TPU routes
-    attention through the Pallas flash-decode kernel (online softmax over the
-    head-major cache, experimental/flash_decode.py); everything else uses the XLA
-    two-piece attention.
+    attention through the stacked Pallas flash-decode kernel
+    (ops/decode_attention.py, online softmax over whole head-group planes);
+    everything else uses the XLA two-piece attention.
 
     attn_len (static) bounds the cache READ window via the flash-decode
     kernel's grid (writes still land in the full [T_max] buffer; callers must
     guarantee all valid cache positions are < attn_len). NB measured on v5e:
-    at rep<=2 GQA shapes the kernel's per-grid-cell overhead exceeds the
-    traffic saving, so the serving engine instead sizes the cache BUFFER
+    at rep<=2 GQA shapes a bounded-grid kernel's per-cell overhead exceeds
+    the traffic saving, so the serving engine instead sizes the cache BUFFER
     itself by length buckets (serve/engine.py:_ensure_cache) — which is what
     the reference's FT mmha achieves with its tlength-based launch config
     (csrc/attention/decoder_masked_multihead_attention.cu:30-60).
@@ -463,15 +451,11 @@ def forward(
             lp[nm] = StackedPacked(lp_stack[nm], li)
         return lp
 
-    # Pallas flash-decode path (experimental/flash_decode.py): S=1, uniform layer
-    # mode, no ALiBi bias, no engine kv_valid override. At the FULL window
-    # the XLA two-piece attention measures faster on v5e (633 GB/s vs 582 at
-    # T=2048 — BENCH notes r2), so plain decode defaults to XLA. attn_len
-    # (a bounded read window) requires the flash kernel — its grid is the
-    # only place the read set truly shrinks (XLA-level slices materialize
-    # copies: +1 ms/step measured) — so attn_len auto-enables it; but at
-    # 7B MHA (rep=1) the whole-model step measured 23.7 ms vs 14.8 full-
-    # window XLA, so the ENGINE uses bucket-sized cache buffers instead.
+    # Stacked flash-decode eligibility (ops/decode_attention.py — the ONE
+    # Pallas decode-attention route; everything else is the XLA two-piece
+    # attention): S=1, uniform layer mode, no ALiBi bias, no engine kv_valid
+    # override. The first-generation per-layer kernel
+    # (experimental/flash_decode.py) is retired to tests-only.
     if cache is not None and (attn_len is None or attn_len >= cache.k.shape[3]):
         attn_len = None
     flash_ok = (
@@ -481,14 +465,13 @@ def forward(
         and kv_valid is None
         and not per_layer_sliding
     )
-    # Second-generation stacked flash-decode (ops/decode_attention.py): the
-    # cache stays OUT of the scan xs (no per-layer slice copy) and the kernel
-    # streams whole head-group [T, D] planes. DEFAULT on TPU — measured wins
-    # over the XLA two-piece attention in every decode config (round 4:
-    # bf16 headline 444.2 vs 441.7 tok/s; int8-KV batch 16 800.6 vs 569.8 =
-    # +40%, the int8 planes stream at full bandwidth instead of ~0.6x).
-    # BITDISTILLER_FLASH2=0 restores the XLA path; =1 forces it on CPU
-    # (interpret mode — tests only).
+    # The stacked kernel keeps the cache OUT of the scan xs (no per-layer
+    # slice copy) and streams whole head-group [T, D] planes. DEFAULT on
+    # TPU — measured wins over the XLA two-piece attention in every decode
+    # config (round 4: bf16 headline 444.2 vs 441.7 tok/s; int8-KV batch 16
+    # 800.6 vs 569.8 = +40%, the int8 planes stream at full bandwidth
+    # instead of ~0.6x). BITDISTILLER_FLASH2=0 restores the XLA path; =1
+    # forces it on CPU (interpret mode — tests only).
     flash2_env = os.environ.get("BITDISTILLER_FLASH2")
     if flash2 is not None:
         flash2_on = flash2
@@ -498,25 +481,12 @@ def forward(
             or (flash2_env is None and jax.default_backend() == "tpu")
         )
     flash2_proto = None
-    if (
-        flash_ok
-        and flash2_on
-        # int8 cache: the kernel's scale-plane block needs hkv % 8 == 0
-        and (not cache.quantized or cfg.num_kv_heads % 8 == 0)
-    ):
+    if flash_ok and flash2_on:
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash2_proto = (
             start_vec, cfg.sliding_window, attn_len,
             jax.default_backend() != "tpu",
         )
-    if use_flash_decode is None:
-        use_flash_decode = attn_len is not None and jax.default_backend() == "tpu"
-    flash_args = None
-    if flash2_proto is not None:
-        pass
-    elif use_flash_decode and flash_ok and not cache.quantized:
-        start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
-        flash_args = (start_vec, cfg.sliding_window)
     else:
         attn_len = None  # the XLA path always streams the full window
 
@@ -580,7 +550,7 @@ def forward(
         new_h, new_kv = _block(
             cfg, with_packed(lp, li), hidden, c, si, m, (ck, cv, ks, vs),
             cache_pos, quantizer,
-            attn_bias=attn_bias, flash_args=flash_args, attn_len=attn_len,
+            attn_bias=attn_bias,
         )
         return new_h, new_kv
 

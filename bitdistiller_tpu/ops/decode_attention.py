@@ -53,26 +53,33 @@ _KV_VMEM_BUDGET = int(os.environ.get("BITDISTILLER_FD_VMEM", 11_800_000))
 def _plan_blocks(hkv: int, t: int, d: int, itemsize: int,
                  budget: int = None, quantized: bool = False) -> tuple[int, int]:
     """Pick (head_group hg, T-block bt): whole-T single pass if it fits,
-    then the measured-fastest head group for the dtype."""
+    then the measured-fastest head group for the dtype. The double-buffered
+    K+V block pair (4 * hg * bt * d * itemsize bytes) is held under the
+    VMEM budget by first shrinking bt, then (extreme T on small-VMEM
+    parts) the head group."""
     budget = budget or _KV_VMEM_BUDGET
-    bt = t
-    # shrink the T block until one head's double-buffered K+V fits
-    while 4 * bt * d * itemsize > budget and bt > 256:
-        bt = (bt + 1) // 2
+
+    def fits(hg, bt):
+        return 4 * hg * bt * d * itemsize <= budget
+
     if quantized:
-        # the [.., hg, bt] scale-plane block needs its last two dims to be
-        # (8k, 128k) for the TPU lowering; hg=8 streams the int8 codes at
-        # 731.9 GB/s of ACTUAL bytes (1419 GB/s bf16-equivalent, round-4
-        # slope probe) — full bandwidth, so no need to search further.
-        # Callers gate on hkv % 8 == 0 (llama.forward falls back to the XLA
-        # attention otherwise).
-        hg = 8
+        # hg=8 streams the int8 codes at 731.9 GB/s of ACTUAL bytes
+        # (1419 GB/s bf16-equivalent, round-4 slope probe) — full bandwidth.
+        # hkv % 8 != 0 (e.g. 4-KV-head GQA) takes the largest divisor: the
+        # scale planes are padded/interleaved to 8 sublanes per grid cell by
+        # the caller (see flash_decode_stacked), so any hg works.
+        hg = max(g for g in range(1, min(hkv, 8) + 1) if hkv % g == 0)
     else:
         # hg=2 measured fastest on v5e (744.8 GB/s vs 712 at hg=4, 732 at
         # hg=1, T=2048 whole-plane blocks — round-4 slope probe): small
         # cells keep the grid deep enough for Mosaic's input double-
         # buffering to fully overlap the DMAs.
-        hg = 2 if hkv % 2 == 0 and 4 * 2 * bt * d * itemsize <= budget else 1
+        hg = 2 if hkv % 2 == 0 else 1
+    bt = t
+    while not fits(hg, bt) and bt > 256:
+        bt = (bt + 1) // 2
+    while not fits(hg, bt) and hg > 1:
+        hg = max(g for g in range(1, hg) if hkv % g == 0)
     return hg, bt
 
 
@@ -82,7 +89,7 @@ def _fd2_kernel(
     q_ref,  # (1, hg, rep, D)
     k_ref,  # (1, 1, hg, bt, D) layer plane block (bf16, or int8 codes)
     v_ref,  # (1, 1, hg, bt, D)
-    *rest,  # [ks_ref, vs_ref: (1, 1, hg, bt) f32] if quantized, then
+    *rest,  # [ks_ref, vs_ref: (1, 1, 8, bt) f32, rows >= hg real] if quantized, then
     # kn_ref (1, hg, 1, D), vn_ref, o_ref (1, hg, rep, D), scratch m/l/acc
     bt: int,
     hg: int,
@@ -213,17 +220,30 @@ def flash_decode_stacked(
     L, _, hkv, t, _ = ck.shape
     rep = hq // hkv
     quantized = k_scale is not None
-    if quantized and hkv % 8 != 0 and head_group is None:
-        raise ValueError(
-            "int8-KV flash decode needs hkv % 8 == 0 (the scale-plane block "
-            f"is [hg, bt] with hg=8); got hkv={hkv}. Callers should fall "
-            "back to the XLA attention path."
-        )
     hg, bt = _plan_blocks(hkv, t, d, ck.dtype.itemsize, quantized=quantized)
     if head_group is not None:
         hg = head_group
     if block_t is not None:
         bt = block_t
+    if quantized:
+        # The [.., 8, bt] f32 scale-plane block needs 8 sublanes for the TPU
+        # lowering, so each grid cell's hg scale rows get their own 8-row
+        # segment: [L, B, Hkv, T] -> [L, B, G, hg->8, T] -> [L, B, G*8, T]
+        # (G = hkv // hg). When hg == 8 the pad/reshape is an identity
+        # bitcast; otherwise it materializes a tiny (<2x scales, ~tens of
+        # MB) padded copy per step — negligible next to the code planes.
+        # This lifts the round-4 hkv % 8 == 0 restriction (the reference's
+        # FT kernel handles arbitrary num_kv_heads,
+        # decoder_masked_multihead_attention.h:1-184).
+        def _pad8(sc):
+            g = hkv // hg
+            sc = sc.astype(jnp.float32).reshape(L, b, g, hg, t)
+            if hg < 8:
+                sc = jnp.pad(sc, ((0, 0), (0, 0), (0, 0), (0, 8 - hg), (0, 0)))
+            return sc.reshape(L, b, g * 8, t)
+
+        k_scale = _pad8(k_scale)
+        v_scale = _pad8(v_scale)
     t_lim = t if attn_len is None or attn_len > t else attn_len
     nt = max(1, -(-t_lim // bt))
 
@@ -240,7 +260,7 @@ def flash_decode_stacked(
         (1, 1, hg, bt, d), lambda i, h, tt, li, st: (li[0], i, h, tt, 0)
     )
     scale_spec = pl.BlockSpec(
-        (1, 1, hg, bt), lambda i, h, tt, li, st: (li[0], i, h, tt)
+        (1, 1, 8, bt), lambda i, h, tt, li, st: (li[0], i, h, tt)
     )
     new_spec = pl.BlockSpec((1, hg, 1, d), lambda i, h, tt, li, st: (i, h, 0, 0))
     in_specs = [
@@ -251,7 +271,7 @@ def flash_decode_stacked(
     operands = [qg, ck, cv]
     if quantized:
         in_specs += [scale_spec, scale_spec]
-        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        operands += [k_scale, v_scale]
     in_specs += [new_spec, new_spec]
     operands += [kng, vng]
     grid_spec = pltpu.PrefetchScalarGridSpec(

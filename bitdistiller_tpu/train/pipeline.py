@@ -58,14 +58,70 @@ def restore_checkpoint(path: str, state):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path),
-        {"params": state.params, "opt_state": state.opt_state, "step": state.step},
-    )
+    try:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": state.params, "opt_state": state.opt_state, "step": state.step},
+        )
+    except Exception as err:
+        restored = _restore_legacy_accum_state(ckptr, path, state, err)
     state.params = restored["params"]
     state.opt_state = restored["opt_state"]
     state.step = restored["step"]
     return state
+
+
+def _restore_legacy_accum_state(ckptr, path: str, state, err: Exception):
+    """Migration shim: checkpoints written before the fused
+    with_f32_master_accum transform stored the bf16-latent + grad-accum
+    optimizer as with_f32_master(optax.MultiSteps(...)) —
+    MasterWeightsState(master, inner=MultiStepsState(mini_step,
+    gradient_step, inner_opt_state, acc_grads)). Map that into today's
+    MasterAccumState(master, acc=0, count=0, inner=inner_opt_state).
+    Checkpoints are written on optimizer-cycle boundaries (the partial
+    accumulator is empty there), so resetting acc/count loses nothing."""
+    from .trainer import MasterAccumState
+
+    if not isinstance(state.opt_state, MasterAccumState):
+        raise err
+    raw = ckptr.restore(os.path.abspath(path))  # structure-free restore
+    opt_raw = raw.get("opt_state") if isinstance(raw, dict) else None
+    if not (
+        isinstance(opt_raw, dict)
+        and "master" in opt_raw
+        and isinstance(opt_raw.get("inner"), dict)
+        and "inner_opt_state" in opt_raw["inner"]
+    ):
+        raise err
+
+    def retree(template, raw_tree):
+        """Re-type a structure-free restored subtree onto the template's
+        pytree (the raw tree mirrors it: dicts keep keys, tuples keep
+        order, and the namedtuple field orders here equal sorted-key
+        order), casting each leaf to the template dtype."""
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        leaves = jax.tree_util.tree_leaves(raw_tree)
+        if len(leaves) != len(t_leaves):
+            raise err
+        leaves = [jnp.asarray(l).astype(t.dtype) for l, t in zip(leaves, t_leaves)]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    tpl = state.opt_state
+    opt_state = MasterAccumState(
+        master=retree(tpl.master, opt_raw["master"]),
+        acc=jax.tree_util.tree_map(jnp.zeros_like, tpl.acc),
+        count=jnp.zeros((), jnp.int32),
+        inner=retree(tpl.inner, opt_raw["inner"]["inner_opt_state"]),
+    )
+    logger.warning(
+        "migrated legacy MultiSteps optimizer state from %s into "
+        "MasterAccumState (accumulator reset at a cycle boundary)", path,
+    )
+    return {
+        "params": retree(state.params, raw["params"]),
+        "opt_state": opt_state,
+        "step": jnp.asarray(raw["step"], jnp.int32),
+    }
 
 
 def latest_checkpoint(ckpt_dir: str):

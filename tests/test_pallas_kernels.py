@@ -229,9 +229,11 @@ def test_flash_decode_sliding_window():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
-def test_forward_flash_flag_matches_xla_path():
-    """forward(use_flash_decode=...) parity on a tiny model (interpret-free:
-    CPU auto-disables, so force both paths and compare via interpret)."""
+def test_forward_attn_len_via_flash2_matches_xla_path():
+    """forward(attn_len=...) routes through the stacked flash-decode kernel
+    (the only remaining Pallas decode route — the gen-1 per-layer kernel is
+    retired to tests-only) and must match the full-window XLA path whenever
+    every cache position < attn_len."""
     from bitdistiller_tpu.models import TINY_TEST, KVCache, forward, init_params
 
     cfg = TINY_TEST
@@ -242,14 +244,12 @@ def test_forward_flash_flag_matches_xla_path():
     step = jnp.asarray([[9], [10]], jnp.int32)
     pos = jnp.asarray([4, 4], jnp.int32)
     ref, _ = forward(params, cfg, step, cache=cache, cache_pos=pos,
-                     use_flash_decode=False)
-    try:
-        out, _ = forward(params, cfg, step, cache=cache, cache_pos=pos,
-                         use_flash_decode=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-3, atol=1e-3)
-    except Exception as e:  # pallas CPU lowering unavailable -> skip
-        pytest.skip(f"pallas CPU path unavailable: {type(e).__name__}")
+                     flash2=False)
+    out, _ = forward(params, cfg, step, cache=cache, cache_pos=pos,
+                     flash2=True, attn_len=16)
+    # bf16 compute: the two paths round differently at ulp scale
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.06, atol=0.06)
 
 
 def test_flash_decode_attn_len_bounds_grid():

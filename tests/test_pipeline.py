@@ -225,6 +225,75 @@ def test_orbax_checkpoint_roundtrip(tmp_path, tiny):
     assert int(state2.step) == int(state.step)
 
 
+def test_legacy_multisteps_checkpoint_migrates(tmp_path, tiny):
+    """--resume from a checkpoint written by the pre-round-4 optimizer stack
+    (with_f32_master(optax.MultiSteps(...))) must restore into today's
+    fused MasterAccumState: master weights + Adam moments carried over,
+    accumulator reset at the (cycle-aligned) boundary."""
+    import optax
+
+    from bitdistiller_tpu.train.pipeline import restore_checkpoint, save_checkpoint
+    from bitdistiller_tpu.train import trainer as tr
+
+    cfg, params = tiny
+    tc = tr.TrainConfig(total_steps=8, grad_accum=4, param_dtype="bfloat16")
+
+    # the legacy optimizer stack, exactly as round-3 make_optimizer built it
+    legacy_opt = tr.with_f32_master(
+        optax.MultiSteps(
+            optax.chain(
+                optax.clip_by_global_norm(tc.max_grad_norm),
+                optax.adamw(
+                    learning_rate=tr.make_schedule(tc), b1=tc.adam_b1,
+                    b2=tc.adam_b2, eps=tc.adam_eps,
+                    weight_decay=tc.weight_decay,
+                ),
+            ),
+            every_k_schedule=tc.grad_accum,
+        )
+    )
+    latent = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    legacy_state = tr.TrainState(
+        params=latent, opt_state=legacy_opt.init(latent),
+        step=jnp.asarray(7, jnp.int32),
+    )
+    # run one full accumulation cycle so the Adam moments are non-zero
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp.ones_like(x, jnp.float32), latent
+    )
+    opt_state = legacy_state.opt_state
+    for _ in range(tc.grad_accum):
+        _, opt_state = legacy_opt.update(grads, opt_state, latent)
+    legacy_state.opt_state = opt_state
+    path = save_checkpoint(str(tmp_path / "legacy"), 7, legacy_state)
+
+    state = tr.init_train_state(params, tc)  # today's MasterAccumState stack
+    assert isinstance(state.opt_state, tr.MasterAccumState)
+    state = restore_checkpoint(path, state)
+    assert isinstance(state.opt_state, tr.MasterAccumState)
+    np.testing.assert_allclose(
+        np.asarray(state.opt_state.master["layers"]["q"]["w"]),
+        np.asarray(opt_state.master["layers"]["q"]["w"]),
+    )
+    # Adam moments carried over from the legacy inner state (chain index 1 =
+    # adamw; its first element is ScaleByAdamState)
+    legacy_adam = opt_state.inner.inner_opt_state[1][0]
+    new_adam = state.opt_state.inner[1][0]
+    assert int(new_adam.count) == int(legacy_adam.count) == 1
+    np.testing.assert_allclose(
+        np.asarray(new_adam.mu["layers"]["q"]["w"]),
+        np.asarray(legacy_adam.mu["layers"]["q"]["w"]),
+    )
+    # fresh-cycle boundary: accumulator empty
+    assert int(state.opt_state.count) == 0
+    assert float(jnp.abs(state.opt_state.acc["layers"]["q"]["w"]).max()) == 0.0
+    assert int(state.step) == 7
+
+
 def test_cli_parser_smoke():
     from bitdistiller_tpu.cli import build_parser
 
