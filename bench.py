@@ -121,15 +121,21 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
     rng = np.random.default_rng(0)
     scan_k = max(getattr(args, "scan_steps", 1), 1)
     # --flash2 auto: single-step dispatch leaves llama.forward's own default
-    # (flash2 on TPU); scanned dispatch mirrors the ENGINE's policy
-    # (Engine.flash2_in_scan: XLA attention for bf16 caches inside an outer
-    # scan, flash2 for int8) so scan-steps timings measure a configuration
-    # the engine actually runs.
+    # (flash2 on TPU); scanned dispatch mirrors the ENGINE's bucket-aware
+    # policy (Engine._flash2_for_cache: int8 -> kernel always; bf16 ->
+    # kernel only in an UNROLLED scan at cache >= 512 — in a nested while
+    # the pallas consumer pays the MSA re-copy penalty, and at short caches
+    # per-launch overhead beats the bandwidth win) so scan-steps timings
+    # measure a configuration the engine actually runs.
     f2 = getattr(args, "flash2", "auto")
-    if f2 == "auto":
-        flash2_arg = None if scan_k == 1 else (kv_dtype == jnp.int8)
-    else:
+    if f2 != "auto":
         flash2_arg = f2 == "1"
+    elif scan_k == 1:
+        flash2_arg = None
+    elif kv_dtype == jnp.int8:
+        flash2_arg = True
+    else:
+        flash2_arg = bool(getattr(args, "scan_unroll", False)) and cache_len >= 512
 
     # The cache is DONATED: at cache 2048 an undonated step must allocate a
     # second 8.6 GB cache for the write-back (OOM) and copy the whole buffer
@@ -166,7 +172,8 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
                 return (tok, cache, pos + 1, acc), None
 
             (tokens, cache, pos, acc), _ = jax.lax.scan(
-                body, (tokens, cache, pos, acc), None, length=scan_k
+                body, (tokens, cache, pos, acc), None, length=scan_k,
+                unroll=scan_k if args.scan_unroll else 1,
             )
             return tokens, cache, acc
     else:
@@ -276,6 +283,12 @@ def main():
                     help="decode mode: true decode steps per dispatch "
                     "(lax.scan, engine-horizon style); >1 removes the "
                     "relay's fixed per-dispatch overhead from the timing")
+    ap.add_argument("--scan-unroll", action="store_true",
+                    help="decode mode with --scan-steps>1: fully unroll the "
+                    "step scan (no outer while loop). Round-5 finding: the "
+                    "nested while triggers an XLA memory-space-assignment "
+                    "pathology that re-copies the gate_up/o combo-scale "
+                    "stacks HBM->VMEM every LAYER (+3.4 ms/step)")
     ap.add_argument("--flash2", choices=["auto", "0", "1"], default="auto",
                     help="decode mode: flash_decode_stacked override. auto = "
                     "llama.forward's default for single-step dispatch, the "

@@ -239,7 +239,7 @@ def _engine_for_eval(args):
 
 
 def cmd_eval(args):
-    from .eval.tasks import LogLikelihoodFn, run_tasks
+    from .eval.tasks import GEN_TASKS, LogLikelihoodFn, run_tasks
     from .quant.core import make_fake_quantizer
 
     params, cfg = _load_model(args.model_path)
@@ -252,22 +252,38 @@ def cmd_eval(args):
         quantizer = lambda w: q(w.T).T
     tasks = args.tasks.split(",")
     results = {}
+    fn = LogLikelihoodFn(params, cfg, tok, quantizer=quantizer,
+                         batch_size=args.batch_size)
     if "wikitext" in tasks:
-        # wikitext inside the task list (lm-eval fork parity): the same
-        # seqlen-2048 block PPL as `cli ppl` (wiki_ppl.py:46-137 math)
+        # wikitext: the word-level lm-eval perplexity task (rolling
+        # loglikelihood; tasks/wikitext.py metrics) PLUS the reference's
+        # seqlen-2048 block token PPL as `ppl` (wiki_ppl.py:46-137 math)
         tasks.remove("wikitext")
         from .eval.ppl import load_wikitext2_test, perplexity, prepare_blocks
+        from .eval.tasks import run_tasks as _rt
 
+        wt = _rt(fn, ["wikitext"], limit=args.limit)["wikitext"]
         blocks = prepare_blocks(load_wikitext2_test(tok), 2048)
-        results["wikitext"] = {
-            "ppl": perplexity(params, cfg, blocks, quantizer=quantizer,
-                              batch_size=args.batch_size)
-        }
+        wt["ppl"] = perplexity(params, cfg, blocks, quantizer=quantizer,
+                               batch_size=args.batch_size)
+        results["wikitext"] = wt
+    gen_names = [t for t in tasks if t in GEN_TASKS]
+    tasks = [t for t in tasks if t not in GEN_TASKS]
     if tasks:
-        fn = LogLikelihoodFn(params, cfg, tok, quantizer=quantizer,
-                             batch_size=args.batch_size)
         results.update(run_tasks(fn, tasks, limit=args.limit,
                          mmlu_fewshot=args.num_fewshot))
+    if gen_names:
+        # generative (greedy_until) tasks run through the batching engine
+        from .eval.tasks import GreedyUntilFn, run_gen_tasks
+        from .serve import Engine, SamplingParams
+
+        eng = Engine(
+            params, cfg, max_slots=min(args.batch_size, 8),
+            max_len=2048, sampling=SamplingParams(temperature=0.0),
+            eos_token_id=getattr(tok, "eos_token_id", None),
+        )
+        gen_fn = GreedyUntilFn(eng, tok, max_new_tokens=args.max_new_tokens)
+        results.update(run_gen_tasks(gen_fn, gen_names, limit=args.limit))
     print(json.dumps(results, indent=2, default=float))
 
 
@@ -486,6 +502,8 @@ def build_parser():
     ev.add_argument("--limit", type=int, default=None)
     ev.add_argument("--num_fewshot", type=int, default=5,
                     help="MMLU few-shot exemplars (llm_eval.py parity)")
+    ev.add_argument("--max_new_tokens", type=int, default=256,
+                    help="generative (greedy_until) tasks: generation budget")
     ev.set_defaults(fn=cmd_eval)
 
     gs = sub.add_parser("gsm8k", help="GSM8K generative eval")

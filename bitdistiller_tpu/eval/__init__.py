@@ -7,6 +7,7 @@ from .humaneval import (
 from .ppl import load_wikitext2_test, make_nll_fn, perplexity, prepare_blocks
 from .reasoning import run_reasoning
 from .tasks import (
+    GEN_TASKS,
     MMLU_SUBJECTS,
     TASK_REGISTRY,
     GenDoc,
@@ -14,9 +15,12 @@ from .tasks import (
     LogLikelihoodFn,
     MCDoc,
     evaluate_gen_task,
+    evaluate_perplexity_task,
     evaluate_task,
+    run_gen_tasks,
     run_tasks,
     trim_at_stops,
+    wikitext_detokenizer,
 )
 
 __all__ = [
@@ -38,8 +42,12 @@ __all__ = [
     "LogLikelihoodFn",
     "MCDoc",
     "evaluate_gen_task",
+    "evaluate_perplexity_task",
     "evaluate_task",
+    "GEN_TASKS",
+    "run_gen_tasks",
     "run_tasks",
     "trim_at_stops",
+    "wikitext_detokenizer",
     "run_reasoning",
 ]

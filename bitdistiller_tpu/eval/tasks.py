@@ -64,10 +64,11 @@ class LogLikelihoodFn:
         n_ctx = max(n_ctx - max(len(whole) + n_ctx - self.max_len, 0), 1)
         return whole, n_ctx
 
-    def __call__(self, pairs: Sequence[tuple[str, str]]) -> list[tuple[float, bool]]:
-        results: list = [None] * len(pairs)
-        encoded = [self._encode_pair(c, x) for c, x in pairs]
-        order = sorted(range(len(pairs)), key=lambda i: len(encoded[i][0]))
+    def _score_encoded(self, encoded: list[tuple[list, int]]) -> list[tuple[float, bool]]:
+        """Bucketed batched scoring of (token_seq, n_ctx) items: sum logprob
+        of tokens [n_ctx:] plus an all-greedy flag."""
+        results: list = [None] * len(encoded)
+        order = sorted(range(len(encoded)), key=lambda i: len(encoded[i][0]))
         for start in range(0, len(order), self.batch_size):
             idxs = order[start : start + self.batch_size]
             maxlen = max(len(encoded[i][0]) for i in idxs)
@@ -86,6 +87,34 @@ class LogLikelihoodFn:
             for row, i in enumerate(idxs):
                 results[i] = (float(lls[row]), bool(greedy[row]))
         return results
+
+    def __call__(self, pairs: Sequence[tuple[str, str]]) -> list[tuple[float, bool]]:
+        return self._score_encoded([self._encode_pair(c, x) for c, x in pairs])
+
+    def rolling(self, texts: Sequence[str]) -> list[float]:
+        """Sum log-likelihood of each full text — lm-eval's
+        loglikelihood_rolling (base.py) semantics: the token stream is split
+        into disjoint (max_len - 1)-token windows, each conditioned on ONE
+        carried token (the previous window's last token; an EOS/BOS prefix
+        token for the first — utils.get_rolling_token_windows with
+        context_len=1), and every token of the text is scored exactly once."""
+        prefix = (
+            getattr(self.tok, "eos_token_id", None)
+            or getattr(self.tok, "bos_token_id", None)
+            or 0
+        )
+        windows: list[tuple[list, int]] = []
+        spans: list[tuple[int, int]] = []
+        step = self.max_len - 1
+        for text in texts:
+            toks = self.tok.encode(text)
+            start = len(windows)
+            for i in range(0, len(toks), step):
+                ctx = prefix if i == 0 else toks[i - 1]
+                windows.append(([ctx] + toks[i : i + step], 1))
+            spans.append((start, len(windows)))
+        scored = self._score_encoded(windows)
+        return [sum(scored[i][0] for i in range(s, e)) for s, e in spans]
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +357,81 @@ def _mmlu_docs(subject: str, n_shot: int = 5):
     ]
 
 
+def wikitext_detokenizer(string: str) -> str:
+    """WikiText detokenization rules — protocol constants identical to the
+    lm-eval fork's wikitext task (tasks/wikitext.py:28-60), required for
+    word_perplexity parity."""
+    import re
+
+    string = string.replace("s '", "s'")
+    string = re.sub(r"/' [0-9]/", r"/'[0-9]/", string)
+    string = string.replace(" @-@ ", "-")
+    string = string.replace(" @,@ ", ",")
+    string = string.replace(" @.@ ", ".")
+    string = string.replace(" : ", ": ")
+    string = string.replace(" ; ", "; ")
+    string = string.replace(" . ", ". ")
+    string = string.replace(" ! ", "! ")
+    string = string.replace(" ? ", "? ")
+    string = string.replace(" , ", ", ")
+    string = re.sub(r"\(\s*([^\)]*?)\s*\)", r"(\1)", string)
+    string = re.sub(r"\[\s*([^\]]*?)\s*\]", r"[\1]", string)
+    string = re.sub(r"{\s*([^}]*?)\s*}", r"{\1}", string)
+    string = re.sub(r"\"\s*([^\"]*?)\s*\"", r'"\1"', string)
+    string = re.sub(r"'\s*([^']*?)\s*'", r"'\1'", string)
+    string = string.replace("= = = =", "====")
+    string = string.replace("= = =", "===")
+    string = string.replace("= =", "==")
+    string = string.replace(" " + chr(176) + " ", chr(176))
+    string = string.replace(" \n", "\n")
+    string = string.replace("\n ", "\n")
+    string = string.replace(" N ", " 1 ")
+    string = string.replace(" 's", "'s")
+    return string
+
+
+def _wikitext_docs() -> list[str]:
+    """Raw WikiText-2 test documents for the word-level perplexity task
+    (lm-eval fork tasks/wikitext.py WikiText: document-level pages).
+    Falls back to the line-level `wikitext` fixture/hub dataset joined into
+    one document when the document-level variant is unavailable."""
+    from ..data.offline import load_dataset
+
+    try:
+        ds = load_dataset(
+            "EleutherAI/wikitext_document_level", "wikitext-2-raw-v1",
+            split="test",
+        )
+        return [d["page"] for d in ds]
+    except Exception:  # fixture/hub miss for the document-level variant
+        ds = load_dataset("wikitext", "wikitext-2-raw-v1", split="test")
+        return ["".join(d["text"] for d in ds)]
+
+
+def evaluate_perplexity_task(ll_fn, docs: Sequence[str], limit=None) -> dict:
+    """word/byte perplexity + bits_per_byte over rolling loglikelihood —
+    the lm-eval PerplexityTask metrics (base.py:Perplexity- word_perplexity
+    = exp(total_nll / words of the ORIGINAL doc), byte_perplexity over the
+    detokenized target's utf-8 bytes)."""
+    import math
+    import re as _re
+
+    docs = list(docs)
+    if limit:
+        docs = docs[:limit]
+    targets = [wikitext_detokenizer(d) for d in docs]
+    lls = ll_fn.rolling(targets)
+    total_ll = float(sum(lls))
+    words = sum(len(_re.split(r"\s+", d)) for d in docs)
+    nbytes = sum(len(t.encode("utf-8")) for t in targets)
+    return {
+        "word_perplexity": math.exp(-total_ll / max(words, 1)),
+        "byte_perplexity": math.exp(-total_ll / max(nbytes, 1)),
+        "bits_per_byte": -total_ll / (max(nbytes, 1) * math.log(2)),
+        "n": len(docs),
+    }
+
+
 TASK_REGISTRY: dict[str, Callable[[], list]] = {
     "hellaswag": _hellaswag_docs,
     "piqa": _piqa_docs,
@@ -421,20 +525,118 @@ def evaluate_gen_task(
     docs: Iterable[GenDoc],
     limit: Optional[int] = None,
     postprocess: Optional[Callable[[str], str]] = None,
+    match: Optional[Callable[[str, object], bool]] = None,
 ) -> dict:
     """Exact-match accuracy over greedy generations (the metric lm-eval's
-    generative tasks use after their per-task extraction)."""
+    generative tasks use after their per-task extraction). `match` overrides
+    the default stripped-string comparison (e.g. alias sets)."""
     docs = list(docs)
     if limit:
         docs = docs[:limit]
     preds = gen_fn([(d.context, d.until) for d in docs])
     if postprocess is not None:
         preds = [postprocess(p) for p in preds]
-    em = sum(
-        int(p.strip() == d.target.strip()) for p, d in zip(preds, docs)
-    )
+    if match is None:
+        match = lambda p, t: p.strip() == str(t).strip()
+    em = sum(int(match(p, d.target)) for p, d in zip(preds, docs))
     n = len(docs)
     return {"exact_match": em / n if n else 0.0, "n": n}
+
+
+# -- generative task definitions --------------------------------------------
+
+_GSM8K_ANS_RE = None  # compiled lazily; pattern ≡ lm-eval tasks/gsm8k.py:36
+
+
+def _gsm8k_extract(text: str) -> str:
+    """'#### n' answer extraction — the lm-eval gsm8k ANS_RE protocol
+    (tasks/gsm8k.py:36-99: strip commas, '[invalid]' on no match)."""
+    global _GSM8K_ANS_RE
+    import re
+
+    if _GSM8K_ANS_RE is None:
+        _GSM8K_ANS_RE = re.compile(r"#### (\-?[0-9\.\,]+)")
+    m = _GSM8K_ANS_RE.search(text)
+    return m.group(1).strip().replace(",", "") if m else "[invalid]"
+
+
+def _gsm8k_gen_docs(n_fewshot: int = 5) -> list:
+    """gsm8k as an lm-eval-style generative task ('Question: ...\\nAnswer:'
+    prompt, stop at the next 'Question', '#### n' extraction — tasks/
+    gsm8k.py:63-99). Few-shot exemplars are the first n test rows (held out
+    of the evaluated set); the dedicated `cli gsm8k` (eval/gsm8k.py) remains
+    the instruction-prompt MetaMath protocol used for headline numbers."""
+    from ..data.offline import load_dataset
+
+    rows = list(load_dataset("gsm8k", "main", split="test"))
+    shots, rows = rows[:n_fewshot], rows[n_fewshot:]
+    fewshot = "".join(
+        f"Question: {d['question']}\nAnswer: {d['answer']}\n\n" for d in shots
+    )
+    return [
+        GenDoc(
+            fewshot + f"Question: {d['question']}\nAnswer:",
+            _gsm8k_extract(d["answer"]),
+            until=(":", "Question:", "Question"),
+        )
+        for d in rows
+    ]
+
+
+def _gsm8k_match(pred: str, target) -> bool:
+    ans = _gsm8k_extract(pred)
+    return ans != "[invalid]" and ans == target
+
+
+def _normalize_answer(s: str) -> str:
+    import string as _string
+
+    return s.strip().lower().translate(str.maketrans("", "", _string.punctuation))
+
+
+def _triviaqa_docs() -> list:
+    """TriviaQA rc.nocontext as a greedy_until task (lm-eval tasks/
+    triviaqa.py:52-91: 'Question:/Answer:' prompt, stop at newline/./,,
+    normalized membership in the alias list)."""
+    from ..data.offline import load_dataset
+
+    ds = load_dataset("trivia_qa", "rc.nocontext", split="validation")
+    docs = []
+    for d in ds:
+        ans = d["answer"]
+        aliases = list(ans.get("aliases") or []) or [ans["value"]]
+        docs.append(
+            GenDoc(
+                f"Question: {d['question']}\nAnswer:", aliases,
+                until=("\n", ".", ","),
+            )
+        )
+    return docs
+
+
+def _triviaqa_match(pred: str, target) -> bool:
+    cands = {_normalize_answer(a) for a in target}
+    return _normalize_answer(pred) in cands
+
+
+# name -> (doc loader, postprocess, match). Evaluated through GreedyUntilFn
+# (the engine-backed greedy_until adaptor above).
+GEN_TASKS: dict[str, tuple] = {
+    "gsm8k": (_gsm8k_gen_docs, None, _gsm8k_match),
+    "triviaqa": (_triviaqa_docs, None, _triviaqa_match),
+}
+
+
+def run_gen_tasks(gen_fn, task_names: Sequence[str], limit=None) -> dict:
+    """Evaluate generative (greedy_until) tasks via a GreedyUntilFn-style
+    callable. Mirrors run_tasks for the loglikelihood tasks."""
+    results = {}
+    for name in task_names:
+        loader, post, match = GEN_TASKS[name]
+        results[name] = evaluate_gen_task(
+            gen_fn, loader(), limit, postprocess=post, match=match
+        )
+    return results
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +683,12 @@ def run_tasks(ll_fn, task_names: Sequence[str], limit=None,
                 results[f"hendrycksTest-{s}"] = evaluate_task(
                     ll_fn, _mmlu_docs(s, n_shot=mmlu_fewshot), limit
                 )
+        elif name == "wikitext":
+            # word-level perplexity task (rolling loglikelihood) — needs
+            # the LogLikelihoodFn adaptor, not a bare pairs callable
+            results[name] = evaluate_perplexity_task(
+                ll_fn, _wikitext_docs(), limit
+            )
         elif name in CLOZE_TASKS:
             results[name] = evaluate_cloze_task(ll_fn, CLOZE_TASKS[name](), limit)
         else:
@@ -493,7 +701,8 @@ def run_tasks(ll_fn, task_names: Sequence[str], limit=None,
     mmlu = [v["acc"] for k, v in results.items() if k.startswith("hendrycksTest-")]
     if mmlu:
         summary["mmlu-acc"] = float(np.mean(mmlu))
-    qa = [v["acc"] for k, v in results.items() if not k.startswith("hendrycksTest-")]
+    qa = [v["acc"] for k, v in results.items()
+          if not k.startswith("hendrycksTest-") and "acc" in v]
     if qa:
         summary["qa-avg"] = float(np.mean(qa))
     return summary

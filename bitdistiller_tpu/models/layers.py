@@ -339,8 +339,8 @@ def cached_attention(
 
 
 def flash_train_attention(
-    q: jnp.ndarray,  # [B, S, H, D]
-    k: jnp.ndarray,
+    q: jnp.ndarray,  # [B, S, Hq, D]
+    k: jnp.ndarray,  # [B, S, Hkv, D] (GQA/MQA: Hkv may divide Hq)
     v: jnp.ndarray,
     attn_mask: jnp.ndarray | None = None,  # [B, S] padding mask (1 = real)
 ) -> jnp.ndarray:
@@ -356,19 +356,46 @@ def flash_train_attention(
     softmax exactly like the mask path; pad rows' own outputs are garbage
     either way and sit under label -100).
 
-    Callers gate on: MHA only (the stock kernel has no GQA), no ALiBi/
-    sliding window, S % 128 == 0, D % 128 == 0 (kernel block constraints).
+    Shape generality (round 5 — the round-4 gate excluded GQA students like
+    TinyLlama/Qwen and odd sequence lengths):
+      * GQA/MQA: K/V heads are repeated to Hq before the kernel (the stock
+        kernel is MHA-only). The repeat materializes [B, S, Hq, D] copies —
+        tiny next to the [S, S] score tensors the kernel avoids.
+      * S % 128 != 0: padded up to the block size; pad rows enter as
+        segment-0 ids so real rows never attend to them, then sliced off.
+      * D % 128 != 0: zero-padded to 128 (zero query/key lanes add nothing
+        to scores; zero value lanes produce output lanes that get sliced
+        off). sm_scale uses the REAL head dim.
+
+    Callers still gate on: no ALiBi, no sliding window, no additive bias.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
     )
 
-    b, s, h, d = q.shape
-    seg = None
-    if attn_mask is not None:
-        ids = attn_mask.astype(jnp.int32)
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    if hkv != hq:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    s_pad = (-s) % 128
+    d_pad = (-d) % 128
+    if s_pad or attn_mask is not None:
+        ids = (
+            jnp.ones((b, s), jnp.int32)
+            if attn_mask is None
+            else attn_mask.astype(jnp.int32)
+        )
+        if s_pad:
+            ids = jnp.pad(ids, ((0, 0), (0, s_pad)))
         seg = SegmentIds(q=ids, kv=ids)
+    else:
+        seg = None
+    if s_pad or d_pad:
+        pad = ((0, 0), (0, s_pad), (0, 0), (0, d_pad))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     # NB on CPU the stock kernel needs pltpu.force_tpu_interpret_mode()
     # around the WHOLE computation (trace + lowering + run) — tests wrap
     # their forward calls; the opt-in env gate means CPU never lands here
@@ -381,7 +408,10 @@ def flash_train_attention(
         causal=True,
         sm_scale=1.0 / (d ** 0.5),
     )
-    return out.transpose(0, 2, 1, 3)
+    out = out.transpose(0, 2, 1, 3)
+    if s_pad or d_pad:
+        out = out[:, :s, :, :d]
+    return out
 
 
 def causal_attention(

