@@ -311,10 +311,15 @@ def main():
                     "reference recipe trains at micro-bs 2 x accum 8, "
                     "train.sh:29-37; amortizes the AdamW state sweep)")
     ap.add_argument("--remat", default="full",
-                    choices=["full", "save_quantized", "save_dots", "none"],
+                    choices=["full", "save_quantized", "save_dots", "save_qkvo",
+                             "none"],
                     help="train mode: gradient-checkpoint policy ('none' = "
                     "no remat; fits at the 0.5B bs-2 recipe, saves the "
                     "backward's recompute forward)")
+    ap.add_argument("--teacher-flash", action="store_true",
+                    help="train mode: route the (no-grad) TEACHER forward "
+                    "through the flash-attention kernel (fwd-only: no bwd "
+                    "recompute cost)")
     ap.add_argument("--skip-short-row", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="wrap the timed loop in a jax.profiler trace "
@@ -359,7 +364,8 @@ def main():
                          q_group_size=128 if full else 32, kd_loss_type="cakld",
                          gradient_checkpointing=args.remat != "none",
                          remat_policy=args.remat,
-                         grad_accum=args.grad_accum)
+                         grad_accum=args.grad_accum,
+                         teacher_flash=True if args.teacher_flash else None)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
         # one jitted build: eager init is a remote compile per op on the relay
@@ -527,19 +533,32 @@ def main():
         # shaped by the cache buffer too)
         for nbs in warm_sizes:
             eng.generate(prompts[:nbs], max_new_tokens=1)
+        if args.spec and eng.spec_adaptive_k:
+            # pre-compile every adaptive-k ladder executable at the grown
+            # cache: a mid-timed-run k switch otherwise pays a remote compile
+            for k in eng.spec_k_ladder:
+                eng._spec_k_cur = k
+                eng.spec_adaptive_k = False
+                try:
+                    eng.generate(prompts[: args.batch],
+                                 max_new_tokens=eng.horizon + 1)
+                    eng.generate(prompts[:1], max_new_tokens=new_tokens)
+                finally:
+                    eng.spec_adaptive_k = True
         if os.environ.get("BENCH_SPY"):
             # per-dispatch trace (steps + wall gap since the previous
             # dispatch = the previous horizon's sync+emit cost)
             _real = eng._dispatch_decode
             _last = [time.time()]
 
-            def _spy(steps, spec=None):
+            def _spy(steps, spec=None, spec_k=None):
                 now = time.time()
                 print(f"    +{(now - _last[0])*1e3:7.1f} ms -> dispatch "
-                      f"steps={steps} spec={spec} ema={eng._spec_ema}",
+                      f"steps={steps} spec={spec} k={spec_k} "
+                      f"ema={eng._spec_ema}",
                       file=sys.stderr)
                 _last[0] = now
-                return _real(steps, spec=spec)
+                return _real(steps, spec=spec, spec_k=spec_k)
 
             eng._dispatch_decode = _spy
         # one full UNTIMED pass of the exact workload: adaptive horizons and

@@ -188,19 +188,27 @@ def _block(
         )
     )
 
+    from jax.ad_checkpoint import checkpoint_name
+
+    def _named(x):
+        # tags the attention-side projection outputs for the "save_qkvo"
+        # remat policy (save qkv/o dots + qweight, recompute the MLP —
+        # drops the [B, S, I] intermediates that dominate activation HBM)
+        return checkpoint_name(x, "qkvo_proj")
+
     x = apply_norm(lp["input_norm"], h, cfg.rms_norm_eps, cfg.norm_offset)
     if "qkv" in lp:
         # fused qkv projection — one kernel launch (parity with the
         # reference's make_quant_attn fusion, inference/modules/fused_attn.py:304-370)
-        qkv = lin("qkv", lp["qkv"], x)
+        qkv = _named(lin("qkv", lp["qkv"], x))
         q_sz, kv_sz = hq * dh, hkv * dh
         q = qkv[..., :q_sz].reshape(b, s, hq, dh)
         k = qkv[..., q_sz : q_sz + kv_sz].reshape(b, s, hkv, dh)
         v = qkv[..., q_sz + kv_sz :].reshape(b, s, hkv, dh)
     else:
-        q = lin("q", lp["q"], x).reshape(b, s, hq, dh)
-        k = lin("k", lp["k"], x).reshape(b, s, hkv, dh)
-        v = lin("v", lp["v"], x).reshape(b, s, hkv, dh)
+        q = _named(lin("q", lp["q"], x)).reshape(b, s, hq, dh)
+        k = _named(lin("k", lp["k"], x)).reshape(b, s, hkv, dh)
+        v = _named(lin("v", lp["v"], x)).reshape(b, s, hkv, dh)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
@@ -254,7 +262,9 @@ def _block(
         )
         new_cache = (k, v) if keep_kv else None
 
-    attn_out = lin("o", lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype))
+    attn_out = _named(
+        lin("o", lp["o"], attn.reshape(b, s, hq * dh).astype(h.dtype))
+    )
     act = _activation(cfg.hidden_act)
     if cfg.parallel_block:
         # falcon-style: attention and MLP summed into the residual together;
@@ -298,9 +308,13 @@ def forward(
     kv_valid: Optional[jnp.ndarray] = None,  # [B, T] bool — engine-provided
     attn_len: Optional[int] = None,  # static: read only cache[:attn_len]
     attn_mask: Optional[jnp.ndarray] = None,  # [B, S] padding mask (training)
-    remat: bool | str = False,  # True/"full" | "save_quantized" | "save_dots"
+    remat: bool | str = False,  # True/"full" | "save_quantized" | "save_dots" | "save_qkvo"
     return_kv: bool = False,  # cache-less mode: also return per-layer k/v
     logits_dtype=jnp.float32,
+    use_train_flash: bool | None = None,  # training flash attention override
+    # (beats the BITDISTILLER_TRAIN_FLASH env; e.g. the KD step enables it
+    # for the TEACHER forward only — fwd-only flash skips the [B,H,S,S]
+    # score materialization without paying the kernel's bwd recompute)
     flash2: bool | None = None,  # explicit flash_decode_stacked override
     # (beats the BITDISTILLER_FLASH2 env); the engine turns it OFF inside
     # its horizon scans — a pallas consumer inside an outer lax.scan
@@ -508,9 +522,14 @@ def forward(
     # recompute costs more than the [S,S] traffic at that scale —
     # NOTES_NEXT_ROUND round-4 finding 5); re-test at longer S.
     train_flash = None
+    tf_on = (
+        use_train_flash
+        if use_train_flash is not None
+        else os.environ.get("BITDISTILLER_TRAIN_FLASH", "0") == "1"
+    )
     if (
         cache is None
-        and os.environ.get("BITDISTILLER_TRAIN_FLASH", "0") == "1"
+        and tf_on
         and not cfg.alibi
         and cfg.sliding_window is None
         and not per_layer_sliding
@@ -576,6 +595,18 @@ def forward(
                 policy=jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                     jax.checkpoint_policies.save_only_these_names("qweight"),
+                ),
+            )
+        elif remat == "save_qkvo":
+            # save_dots minus the MLP intermediates: keeps the attention
+            # projections (qkv/o) + quantized weights but recomputes the
+            # [B, S, I] gate/up/mid tensors in bwd — the activation-HBM
+            # heavyweights at SwiGLU widths — to fit larger micro-batches
+            # than save_dots (round-4 NOTES: save_dots OOMs at 0.5B bs>=8)
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "qweight", "qkvo_proj"
                 ),
             )
         else:

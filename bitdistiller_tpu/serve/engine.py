@@ -102,6 +102,10 @@ class Engine:
         spec_k: int = 4,
         spec_ngram: int = 2,
         spec_history: int = 512,
+        spec_adaptive_k: bool = True,
+        spec_k_ladder: tuple = (4, 7, 11),
+        spec_step_cost: float = 0.09,
+        spec_ngram_backoff: bool = False,
         flash2_in_scan: bool | None = None,
         unroll_horizon: bool | None = None,
     ):
@@ -204,6 +208,10 @@ class Engine:
         self.spec_decode = spec_decode
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
+        # 3-gram-with-2-gram-backoff drafting (opt-in): match the longer
+        # (spec_ngram + 1)-gram first — more context, higher acceptance when
+        # it hits — and fall back per row to the spec_ngram match
+        self.spec_ngram_backoff = spec_ngram_backoff
         # adaptive fallback: drafting is free where decode is weight-bound
         # (7B) but the S=k+1 verify costs real compute on small models; when
         # the rolling acceptance (tokens per verify cell) drops under
@@ -214,6 +222,18 @@ class Engine:
         self._spec_ema: float | None = None
         self._spec_last_rate = 0.0  # last horizon's measured acceptance
         self._spec_off_rounds = 0
+        # adaptive draft length (round-4 measurement: the best k is
+        # workload-dependent — 4.97x raw at k=11 on periodic prompts but
+        # 1.40x at k=4 / 1.08x at k=11 on held-out real Python). The rolling
+        # acceptance EMA is inverted through a geometric per-position model
+        # and the ladder k maximizing expected tokens per verify cost is
+        # picked (see _current_spec_k); the static spec_k is both the
+        # starting point and the fixed value when spec_adaptive_k=False.
+        self.spec_adaptive_k = spec_adaptive_k
+        self.spec_k_ladder = tuple(sorted(set(tuple(spec_k_ladder) + (spec_k,))))
+        self.spec_step_cost = spec_step_cost
+        self._spec_k_cur = spec_k  # current adaptive choice
+        self._spec_k_last = spec_k  # k the last EMA update was measured at
         if pipeline_rounds and spec_decode:
             raise ValueError("pipeline_rounds and spec_decode are exclusive")
         self.history = jnp.full((max_slots, spec_history), -2, jnp.int32)
@@ -277,7 +297,7 @@ class Engine:
             donate_argnums=tuple(range(8, 16)) + (16,),
         )
         self._spec = jax.jit(
-            self._spec_decode_impl, static_argnames=("steps",),
+            self._spec_decode_impl, static_argnames=("steps", "k"),
             donate_argnums=(1, 5, 6),
         )
 
@@ -449,6 +469,15 @@ class Engine:
         return jnp.where(ok[:, None] & (d >= 0), d, -1)
 
     @staticmethod
+    def ngram_draft_backoff(hist: jnp.ndarray, k: int, hi: int, lo: int):
+        """Per-row n-gram backoff drafting: rows whose trailing `hi`-gram
+        has an earlier match use that draft (more context, higher
+        acceptance); rows without one fall back to the `lo`-gram draft."""
+        dh = Engine.ngram_draft(hist, k, hi)
+        dl = Engine.ngram_draft(hist, k, lo)
+        return jnp.where(dh[:, :1] >= 0, dh, dl)
+
+    @staticmethod
     def _var_append(buf: jnp.ndarray, toks: jnp.ndarray, n: jnp.ndarray):
         """Append the first n[b] of toks[b] to the right-aligned window
         buf[b] (per-row variable shift via a gathered view)."""
@@ -458,18 +487,26 @@ class Engine:
         return jnp.take_along_axis(ext, idx, axis=1)
 
     def _spec_decode_impl(self, params, cache, tokens, pos, active,
-                          prev_tokens, history, key, steps=1):
-        """`steps` verify rounds: draft spec_k tokens from the slot's own
-        history (2-gram lookup), verify in one S=spec_k+1 forward, accept
+                          prev_tokens, history, key, steps=1, k=None):
+        """`steps` verify rounds: draft k tokens from the slot's own
+        history (n-gram lookup), verify in one S=k+1 forward, accept
         the longest sampled==draft prefix plus the bonus token. Returns
-        [steps, B, k+1] tokens with per-round valid counts [steps, B]."""
+        [steps, B, k+1] tokens with per-round valid counts [steps, B].
+        `k` is static (jit-keyed): the adaptive draft length re-traces per
+        ladder value."""
         max_pos = self.max_len - 1
-        k = self.spec_k
+        if k is None:
+            k = self.spec_k
 
         def one(carry, _):
             cur, cache, pos, prev, hist, key = carry
             key, sub = jax.random.split(key)
-            draft = self.ngram_draft(hist, k, self.spec_ngram)
+            if self.spec_ngram_backoff:
+                draft = self.ngram_draft_backoff(
+                    hist, k, self.spec_ngram + 1, self.spec_ngram
+                )
+            else:
+                draft = self.ngram_draft(hist, k, self.spec_ngram)
             tokens_in = jnp.concatenate([cur[:, None], draft], axis=1)
             # the forward reads cache < pos and the fresh S tokens causally;
             # draft==-1 rows still run (clamped to 0) but never get accepted
@@ -873,13 +910,55 @@ class Engine:
             return self._spec_off_rounds % self.spec_retry_every == 0, True
         return True, False
 
-    def _dispatch_decode(self, steps: int, spec: bool | None = None):
+    @staticmethod
+    def _invert_geometric(e: float, k: int) -> float:
+        """Solve E_k(p) = p(1 - p^k)/(1 - p) = e for the per-position
+        acceptance probability p (monotonic in p; bisection)."""
+        if e <= 0.0:
+            return 0.0
+        if e >= k - 1e-6:
+            return 1.0
+        lo, hi = 0.0, 1.0 - 1e-9
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            if mid * (1 - mid ** k) / (1 - mid) < e:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    def _current_spec_k(self) -> int:
+        """Adaptive draft length: invert the acceptance EMA (measured at
+        the last dispatched k) through the geometric model, then pick the
+        ladder k maximizing expected tokens per verify cost
+        (E_k(p) + 1) / (1 + spec_step_cost * k), with 3% hysteresis so the
+        choice doesn't thrash (each k is its own compiled executable)."""
+        if not self.spec_adaptive_k or self._spec_ema is None:
+            return self._spec_k_cur
+
+        p = self._invert_geometric(
+            max(self._spec_ema - 1.0, 0.0), max(self._spec_k_last, 1)
+        )
+
+        def value(k):
+            e_k = k if p >= 1.0 else p * (1 - p ** k) / (1 - p)
+            return (e_k + 1.0) / (1.0 + self.spec_step_cost * k)
+
+        best = max(self.spec_k_ladder, key=value)
+        if value(best) > value(self._spec_k_cur) * 1.03:
+            self._spec_k_cur = best
+        return self._spec_k_cur
+
+    def _dispatch_decode(self, steps: int, spec: bool | None = None,
+                         spec_k: int | None = None):
         """Dispatch one decode horizon; returns (tokens, counts): plain
         scan -> ([steps, B], None); spec-decode -> ([steps, B, k+1] with
         per-round valid counts [steps, B]). No sync: cur_tokens/lengths
         advance on device."""
         if self._spec_active()[0] if spec is None else spec:
-            tps = self.spec_k + 1
+            k = self._current_spec_k() if spec_k is None else spec_k
+            self._spec_k_last = k
+            tps = k + 1
             if self.active.any():
                 self._ensure_cache(
                     int(self._len_ub[self.active].max()) + steps * tps
@@ -888,7 +967,7 @@ class Engine:
              self.prev_tokens, self.history, self.key) = self._spec(
                 self.params, self.cache, self.cur_tokens, self._lengths_dev,
                 self._active_dev, self.prev_tokens, self.history, self.key,
-                steps=steps,
+                steps=steps, k=k,
             )
             self._len_ub += steps * tps * self.active
             return toks, counts
@@ -1033,13 +1112,14 @@ class Engine:
                 # (every round yields >= 1 token). Decided ONCE here and
                 # passed to the dispatch below.
                 spec_now, spec_probe = self._spec_active()
+                spec_k_now = self._current_spec_k() if spec_now else None
                 # a spec round writes k+1 cache rows even at steps=1: with
                 # headroom below that, forward's dynamic_update_slice write
                 # start would clamp to T-S and overwrite attended history
                 # below pos — force the plain scan for the round instead
-                if spec_now and headroom < self.spec_k + 1:
+                if spec_now and headroom < spec_k_now + 1:
                     spec_now = False
-                tpr = (self.spec_k + 1) if spec_now else 1
+                tpr = (spec_k_now + 1) if spec_now else 1
                 # at high acceptance a slot's whole budget completes in
                 # max_rem/ema rounds — rounds past that are pure masked
                 # waste (measured: k=7 at 90% acceptance lost ~20% E2E to
@@ -1067,7 +1147,8 @@ class Engine:
                     self._active_dev = jnp.asarray(dispatch_active)
                     self._active_dirty = False
                 t0 = time.time()
-                toks = self._dispatch_decode(steps, spec=spec_now)
+                toks = self._dispatch_decode(steps, spec=spec_now,
+                                             spec_k=spec_k_now)
                 chain_rem = min(min_rem, headroom) // steps - 1
                 inflight = (toks, steps, dispatch_active, firsts_dev,
                             admit_reqs, admit_slots, t0, chain_rem)
@@ -1174,6 +1255,7 @@ class Engine:
         saved = (self.eos, self.spec_min_accept, self._spec_ema,
                  self._spec_last_rate,
                  self._spec_off_rounds, self.spec_rounds, self.spec_tokens,
+                 self._spec_k_cur, self._spec_k_last,
                  self.prompt_cache_hits, self.prompt_cache_prefix_hits,
                  self.prompt_cache_misses)
         self.eos = None
@@ -1194,6 +1276,19 @@ class Engine:
             for nbs in sizes:
                 self.generate(prompts(nbs), max_new_tokens=self.horizon + 1)
             self.generate(prompts(1), max_new_tokens=max(self.horizon - 1, 1))
+            if self.spec_decode and self.spec_adaptive_k:
+                # pre-compile the adaptive-k ladder: a k switch mid-traffic
+                # otherwise pays a fresh (steps, k) executable compile on a
+                # live request's latency (seconds on a relay attachment)
+                for k in self.spec_k_ladder:
+                    self._spec_k_cur = k
+                    self.spec_adaptive_k = False
+                    try:
+                        self.generate(prompts(self.max_slots),
+                                      max_new_tokens=self.horizon + 1)
+                        self.generate(prompts(1), max_new_tokens=2)
+                    finally:
+                        self.spec_adaptive_k = True
             if self.grow_cache and self.max_len > self._cache_len():
                 # one full-length trajectory grows through every bucket
                 self.generate(prompts(1),
@@ -1204,6 +1299,7 @@ class Engine:
             (self.eos, self.spec_min_accept, self._spec_ema,
              self._spec_last_rate,
              self._spec_off_rounds, self.spec_rounds, self.spec_tokens,
+             self._spec_k_cur, self._spec_k_last,
              self.prompt_cache_hits, self.prompt_cache_prefix_hits,
              self.prompt_cache_misses) = saved
         if verbose:

@@ -49,8 +49,17 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     gradient_checkpointing: bool = True
     # "full" recomputes everything in bwd; "save_quantized" keeps the
-    # fake-quantized weights live (faster, one extra weight copy of memory)
+    # fake-quantized weights live (faster, one extra weight copy of memory);
+    # "save_dots" additionally saves every projection/MLP output;
+    # "save_qkvo" saves only the attention-side projections (recompute the
+    # MLP intermediates — fits larger micro-batches than save_dots)
     remat_policy: str = "full"
+    # teacher forward attention: None = the BITDISTILLER_TRAIN_FLASH env
+    # default; True routes the (no-grad) teacher forward through the flash
+    # kernel — fwd-only flash skips the [B,H,S,S] score materialization
+    # without the bwd-recompute cost that made it lose for the STUDENT
+    # (round-4 finding 5)
+    teacher_flash: bool | None = None
     kd_loss_scale: float = 1.0
     # latent (trained) weight dtype. "bfloat16" matches the reference: the
     # student is loaded in bf16 (train/train.py:394-397) and DeepSpeed's bf16
@@ -335,7 +344,7 @@ def make_train_step(
     opt = make_optimizer(tc)
     if (
         tc.gradient_checkpointing
-        and tc.remat_policy in ("save_quantized", "save_dots")
+        and tc.remat_policy in ("save_quantized", "save_dots", "save_qkvo")
         and quantizer is not None
     ):
         student_remat = tc.remat_policy
@@ -358,6 +367,7 @@ def make_train_step(
                 batch["input_ids"],
                 attn_mask=batch.get("attention_mask"),
                 remat=tc.gradient_checkpointing,
+                use_train_flash=tc.teacher_flash,
             )
             teacher_logits = jax.lax.stop_gradient(teacher_logits)
             loss = tc.kd_loss_scale * kd_loss(

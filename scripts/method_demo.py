@@ -183,34 +183,65 @@ def spec_bench(teacher, cfg, eval_blocks, log):
     prompts = [list(map(int, b[:64])) for b in eval_blocks[:16]]
     max_new = min(256, SEQ - 64 - 2)  # fit the engine's max_len
     res = {}
-    # spec_k sweep {4, 7, 11} matches the bench.py periodic-prompt configs,
-    # so RESULTS.md can print the real-text acceptance curve next to them
-    variants = [("plain", None, None), ("ng2k4", 2, 4), ("ng3k4", 3, 4),
-                ("ng3k7", 3, 7), ("ng3k11", 3, 11)]
-    for mode, ng, k in variants:
-        kw = {} if ng is None else dict(
-            spec_decode=True, spec_k=k, spec_ngram=ng)
+    # fixed spec_k sweep {4, 7, 11} matches the bench.py periodic-prompt
+    # configs (spec_adaptive_k pinned OFF so the curve stays a k curve);
+    # 'adaptive' lets the engine pick k from the acceptance EMA, and
+    # '+backoff' adds 3-gram-with-2-gram-backoff drafting — the round-5
+    # policy candidates, measured against the best fixed point.
+    fixed = dict(spec_decode=True, spec_adaptive_k=False)
+    variants = [
+        ("plain", None),
+        ("ng2k4", dict(fixed, spec_ngram=2, spec_k=4)),
+        ("ng3k4", dict(fixed, spec_ngram=3, spec_k=4)),
+        ("ng3k7", dict(fixed, spec_ngram=3, spec_k=7)),
+        ("ng3k11", dict(fixed, spec_ngram=3, spec_k=11)),
+        ("adaptive", dict(spec_decode=True, spec_ngram=2, spec_k=4)),
+        ("adapt+bko", dict(spec_decode=True, spec_ngram=2, spec_k=4,
+                           spec_ngram_backoff=True)),
+    ]
+    for mode, kw in variants:
         eng = Engine(teacher, cfg, max_slots=16, max_len=SEQ,
                      sampling=SamplingParams(temperature=0.0),
-                     eos_token_id=None, decode_horizon=16, **kw)
+                     eos_token_id=None, decode_horizon=16, **(kw or {}))
         eng.generate(prompts[:2], max_new_tokens=24)  # warm
         t0 = time.time()
         outs = eng.generate(prompts, max_new_tokens=max_new)
         dt = time.time() - t0
         toks = sum(len(o) for o in outs)
         acc = eng.spec_tokens / max(eng.spec_rounds, 1)
+        k = None if kw is None else eng._spec_k_last
         res[mode] = {"tok_s": toks / dt, "outs": outs, "accept": acc, "k": k}
         log(f"  {mode}: {toks/dt:.0f} tok/s"
-            + (f", {acc:.2f}/{k+1} tokens per verify round" if kw else ""))
+            + (f", {acc:.2f}/{k+1} tokens per verify round (k ends at {k})"
+               if kw else ""))
     # bf16 forward at S=k+1 vs S=1 can flip greedy argmax TIES (batch-shape
     # numerics, same noise class as the sharded tests note) — report the
     # agreement instead of asserting exactness (the f32 CPU tests assert it)
-    for mode, ng, k in variants[1:]:
+    for mode, kw in variants[1:]:
         same = sum(a == b for a, b in zip(res[mode]["outs"],
                                           res["plain"]["outs"]))
         log(f"  {mode} greedy agreement: {same}/{len(prompts)} sequences "
             "(divergences are bf16 argmax ties)")
     return res
+
+
+def replace_section(path: str, header: str, section: str):
+    """Idempotently (re)write one `## ...` section of a markdown file,
+    preserving everything else (missing file/section -> append)."""
+    try:
+        with open(path) as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = ""
+    if header in text:
+        pre = text[: text.index(header)]
+        rest = text[text.index(header):]
+        nxt = rest.find("\n## ", 1)
+        text = pre + section + (rest[nxt + 1:] if nxt != -1 else "")
+    else:
+        text = text.rstrip() + ("\n\n" if text.strip() else "") + section
+    with open(path, "w") as f:
+        f.write(text)
 
 
 def write_spec_section(path: str, res: dict, model_desc: str):
@@ -239,21 +270,7 @@ def write_spec_section(path: str, res: dict, model_desc: str):
                 f"{r['accept']:.2f}/{r['k'] + 1} | {r['tok_s']/plain:.2f}x |"
             )
     lines.append("")
-    section = "\n".join(lines)
-    try:
-        with open(path) as f:
-            text = f.read()
-    except FileNotFoundError:
-        text = ""
-    if header in text:
-        pre = text[: text.index(header)]
-        rest = text[text.index(header):]
-        nxt = rest.find("\n## ", 1)
-        text = pre + section + (rest[nxt + 1:] if nxt != -1 else "")
-    else:
-        text = text.rstrip() + ("\n\n" if text.strip() else "") + section
-    with open(path, "w") as f:
-        f.write(text)
+    replace_section(path, header, "\n".join(lines))
 
 
 def main():
@@ -368,42 +385,65 @@ def main():
             packed = pack_model(qat, cfg, bits=2, group_size=G, fuse=True)
             row["packed"] = ppl(packed)
             log(f"[{label}] packed ppl {row['packed']:.4f}")
+            # W2A8 serving mode (BITDISTILLER_QMM_A8=1): per-token int8
+            # activations change numerics — publish the PPL delta next to
+            # the default path (round-4 verdict: the flag shipped blind)
+            os.environ["BITDISTILLER_QMM_A8"] = "1"
+            try:
+                from bitdistiller_tpu.ops.quant_matmul import maybe_repack_a8
+
+                row["packed_a8"] = ppl(maybe_repack_a8(packed))
+            finally:
+                os.environ.pop("BITDISTILLER_QMM_A8", None)
+            log(f"[{label}] packed W2A8 ppl {row['packed_a8']:.4f}")
         rows.append(row)
 
     recover = lambda r: (r["rtn"] - r["qat"]) / max(r["rtn"] - teacher_ppl, 1e-9)
-    lines = [
-        "# RESULTS — on-device method demonstration",
-        "",
-        "No public checkpoints are reachable here (zero egress), so this is the",
-        "method run end-to-end on a genuinely-trained model instead: a "
-        f"{n_params/1e6:.1f}M-param",
-        f"decoder trained {args.teacher_steps} steps on {corpus_desc},",
-        "then RTN -> AutoClip -> teacher self-generation (engine, T=0.7) -> CAKLD",
-        f"KD-QAT ({args.qat_steps} steps) -> pack. Held-out PPL (192 x {SEQ}-token "
-        "blocks, PTQ",
-        "rounding, K-axis grid). Reproduce: "
-        f"`python scripts/method_demo.py --corpus {args.corpus}`.",
+    if args.corpus == "source":
+        header = "## Real text, headline g128 configs"
+        intro = [
+            f"A {n_params/1e6:.1f}M-param decoder trained {args.teacher_steps} "
+            "steps on **byte-level real text** —",
+            "48 MB of the Python source shipped in this image, with held-out "
+            "files as",
+            f"the eval split (192 × {SEQ}-token blocks). The quantization "
+            "configs are the",
+            "paper's headline ones (int2-g128 / nf3-g128). Pipeline: RTN → "
+            "AutoClip →",
+            "teacher self-generation (engine, T=0.7, 256×128 tokens) → CAKLD "
+            "KD-QAT",
+            f"({args.qat_steps} steps) → pack. `packed W2A8` = the same packed "
+            "model served with",
+            "per-token int8 activations (`BITDISTILLER_QMM_A8=1`). Reproduce:",
+            f"`python scripts/method_demo.py --corpus {args.corpus}`.",
+        ]
+    else:
+        header = "## Synthetic language (small, fast)"
+        intro = [
+            f"A {n_params/1e6:.1f}M-param decoder trained {args.teacher_steps} "
+            "steps on an order-2 Markov language",
+            f"(vocab {VOCAB}), int2/nf3 at g{G} (192 × {SEQ}-token held-out "
+            "blocks).",
+            f"Reproduce: `python scripts/method_demo.py` (runs on CPU too).",
+        ]
+    lines = [header, ""] + intro + [
         "",
         f"Teacher (bf16): **{teacher_ppl:.3f}** PPL",
         "",
-        "| quant | RTN | +AutoClip | +CAKLD QAT | gap recovered | packed |",
-        "|---|---|---|---|---|---|",
+        "| quant | RTN | +AutoClip | +CAKLD QAT | gap recovered | packed | packed W2A8 |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         packed = f"{r['packed']:.3f}" if "packed" in r else "—"
+        packed_a8 = f"{r['packed_a8']:.3f}" if "packed_a8" in r else "—"
         lines.append(
             f"| {r['label']} | {r['rtn']:.3f} | {r['clip']:.3f} | {r['qat']:.3f} "
-            f"| {recover(r):.0%} | {packed} |"
+            f"| {recover(r):.0%} | {packed} | {packed_a8} |"
         )
-    lines += [
-        "",
-        f"Backend: {jax.devices()[0].platform}. Every stage runs the production",
-        "APIs (run_autoclip, Engine.generate, make_train_step with bf16 latents +",
-        "f32 master, pack_model, eval.ppl.perplexity).",
-        "",
-    ]
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+    lines.append("")
+    # section-preserving write: the spec-decode section (written above when
+    # --spec-bench ran) and the other corpus's section survive
+    replace_section(args.out, header, "\n".join(lines))
     log(f"wrote {args.out}")
     print("\n".join(lines))
 

@@ -188,9 +188,9 @@ def test_engine_pipelined_speculation_dispatches(tiny_engine, monkeypatch):
     calls = []
     real = eng._dispatch_decode
 
-    def spy(steps, spec=None):
+    def spy(steps, spec=None, spec_k=None):
         calls.append(steps)
-        return real(steps, spec=spec)
+        return real(steps, spec=spec, spec_k=spec_k)
 
     monkeypatch.setattr(eng, "_dispatch_decode", spy)
     out = eng.generate([[3, 7, 11]], max_new_tokens=33)[0]
@@ -566,6 +566,80 @@ def test_spec_decode_greedy_matches_plain():
                             sampling=SamplingParams(temperature=0.0),
                             eos_token_id=None, cache_dtype=dtype)
             assert got == plain8.generate(prompts, max_new_tokens=20)
+
+
+def test_spec_adaptive_k_policy():
+    """The geometric inversion + ladder choice reproduces the round-4
+    measured ordering: low acceptance -> small k, near-perfect acceptance
+    -> the largest ladder k; hysteresis holds the current k for marginal
+    differences."""
+    cfg, params = _f32_pair()
+    eng = Engine(params, cfg, max_slots=2, max_len=64,
+                 sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                 cache_dtype=jnp.float32, spec_decode=True, spec_k=11)
+    # inversion sanity: E_k(p) maps back to p
+    for p in (0.1, 0.5, 0.9):
+        e = p * (1 - p ** 7) / (1 - p)
+        assert abs(Engine._invert_geometric(e, 7) - p) < 1e-6
+    assert Engine._invert_geometric(0.0, 7) == 0.0
+    assert Engine._invert_geometric(7.0, 7) == 1.0
+    # real-text regime (round-4 curve: ~2.2 tokens/round at k=11): the
+    # policy must drop to the smallest ladder k
+    eng._spec_ema, eng._spec_k_last = 2.2, 11
+    assert eng._current_spec_k() == 4
+    # periodic regime (9.85 tokens/round at k=11): stay at 11
+    eng._spec_k_cur = eng._spec_k_last = 11
+    eng._spec_ema = 9.85
+    assert eng._current_spec_k() == 11
+    # no data yet -> the configured k; adaptive off -> always configured
+    eng2 = Engine(params, cfg, max_slots=2, max_len=64,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32, spec_decode=True, spec_k=5,
+                  spec_adaptive_k=False)
+    assert eng2._current_spec_k() == 5
+    eng2._spec_ema, eng2._spec_k_last = 1.0, 5
+    assert eng2._current_spec_k() == 5
+
+
+def test_ngram_draft_backoff():
+    """Rows with a 3-gram match take the 3-gram draft; rows without fall
+    back to the 2-gram draft."""
+    hist = jnp.asarray([
+        # ...5 6 7 X... then trailing 5 6 7 -> 3-gram hit, next is 9
+        [1, 5, 6, 7, 9, 3, 2, 5, 6, 7],
+        # trailing (4, 8): no earlier 3-gram (2,4,8), but 2-gram (4,8) at
+        # position 1 -> backoff draft continues with 6
+        [3, 4, 8, 6, 1, 7, 7, 2, 4, 8],
+    ], jnp.int32)
+    d3 = Engine.ngram_draft(hist, 2, 3)
+    d2 = Engine.ngram_draft(hist, 2, 2)
+    db = Engine.ngram_draft_backoff(hist, 2, 3, 2)
+    assert int(d3[0, 0]) == 9 and int(d3[1, 0]) == -1
+    assert int(d2[1, 0]) == 6
+    assert db[0].tolist() == d3[0].tolist()
+    assert db[1].tolist() == d2[1].tolist()
+
+
+def test_spec_adaptive_and_backoff_greedy_matches_plain():
+    """Adaptive k switching mid-run + backoff drafting stay a pure
+    speedup: greedy outputs equal the plain engine."""
+    cfg, params = _f32_pair()
+    prompts = [
+        [5, 6, 7, 5, 6, 7, 5, 6],
+        [3, 11, 4],
+        list(range(3, 30)),
+        [9, 2, 9, 2, 9, 2, 9],
+    ]
+    base = Engine(params, cfg, max_slots=4, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32)
+    want = base.generate(prompts, max_new_tokens=24)
+    spec = Engine(params, cfg, max_slots=4, max_len=128,
+                  sampling=SamplingParams(temperature=0.0), eos_token_id=None,
+                  cache_dtype=jnp.float32, spec_decode=True, spec_k=4,
+                  spec_k_ladder=(2, 4, 7), spec_ngram_backoff=True)
+    got = spec.generate(prompts, max_new_tokens=24)
+    assert got == want
 
 
 def test_spec_decode_stops_and_budget():

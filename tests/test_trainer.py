@@ -286,15 +286,38 @@ def test_remat_policy_save_quantized_identical(setup):
     cfg, teacher, student, tc, batch = setup
     beta = jnp.asarray(0.6)
     results = {}
-    for policy in ("full", "save_quantized", "save_dots"):
+    for policy in ("full", "save_quantized", "save_dots", "save_qkvo"):
         tc_p = dataclasses.replace(tc, remat_policy=policy)
         step = jax.jit(make_train_step(cfg, tc_p))
         state = init_train_state(student, tc_p)
         new_state, metrics = step(state, batch, beta, teacher)
         results[policy] = (float(metrics["loss"]), new_state.params)
-    for policy in ("save_quantized", "save_dots"):
+    for policy in ("save_quantized", "save_dots", "save_qkvo"):
         assert results["full"][0] == results[policy][0], policy
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
             results["full"][1], results[policy][1],
         )
+
+
+def test_teacher_flash_matches_xla(setup):
+    """tc.teacher_flash=True routes only the TEACHER forward through the
+    flash kernel: the KD loss must match the XLA-attention step closely
+    (interpret mode on CPU), and gradients flow identically shaped."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, teacher, student, tc, batch = setup
+    beta = jnp.asarray(0.6)
+    step = jax.jit(make_train_step(cfg, tc))
+    state = init_train_state(student, tc)
+    _, m_ref = step(state, batch, beta, teacher)
+
+    tc_f = dataclasses.replace(tc, teacher_flash=True)
+    step_f = make_train_step(cfg, tc_f)  # unjitted: interpret ctx must wrap
+    state_f = init_train_state(student, tc_f)
+    with pltpu.force_tpu_interpret_mode():
+        _, m_flash = step_f(state_f, batch, beta, teacher)
+    assert abs(float(m_ref["loss"]) - float(m_flash["loss"])) < 5e-3
+    assert np.isfinite(float(m_flash["grad_norm"]))
