@@ -11,8 +11,11 @@ speed-of-light. The reference publishes no machine-readable decode numbers
 
 The headline runs at cache length 2048 — the reference engine's serving
 context (inference/utils/constants.py max_seq_len=2048) and the regime where
-decode is genuinely HBM-bound; the cache-256 row printed alongside is the
-WEIGHT-bound regime (round 3: 0.49-0.52x vs 0.72x at 2048 — quote both).
+decode is genuinely HBM-bound — with the serving engine's exact dispatch
+structure: 8 decode steps per dispatch, UNROLLED (round 5: a nested while
+trips an XLA MSA pathology; unrolled+flash2 measures 17.48 ms/step vs 18.0
+single-dispatch / 21.4 looped). The cache-256 row rides in the same JSON
+(`cache256_*`): the WEIGHT-bound regime.
 
 Modes: decode (default) | prefill (tok/s + TTFT + MFU fields) | engine
 (continuous-batching E2E vs raw decode).
@@ -123,10 +126,11 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
     # --flash2 auto: single-step dispatch leaves llama.forward's own default
     # (flash2 on TPU); scanned dispatch mirrors the ENGINE's bucket-aware
     # policy (Engine._flash2_for_cache: int8 -> kernel always; bf16 ->
-    # kernel only in an UNROLLED scan at cache >= 512 — in a nested while
-    # the pallas consumer pays the MSA re-copy penalty, and at short caches
-    # per-launch overhead beats the bandwidth win) so scan-steps timings
-    # measure a configuration the engine actually runs.
+    # kernel only in an UNROLLED scan at cache >= 2048 — in a nested while
+    # the pallas consumer pays the MSA re-copy penalty, and below the 2048
+    # bucket the XLA attention measured faster, see the engine's crossover
+    # sweep) so scan-steps timings measure a configuration the engine
+    # actually runs.
     f2 = getattr(args, "flash2", "auto")
     if f2 != "auto":
         flash2_arg = f2 == "1"
@@ -135,7 +139,7 @@ def bench_decode(params, cfg, args, cache_len: int, steps: int, passes: int = 3)
     elif kv_dtype == jnp.int8:
         flash2_arg = True
     else:
-        flash2_arg = bool(getattr(args, "scan_unroll", False)) and cache_len >= 512
+        flash2_arg = bool(getattr(args, "scan_unroll", False)) and cache_len >= 2048
 
     # The cache is DONATED: at cache 2048 an undonated step must allocate a
     # second 8.6 GB cache for the write-back (OOM) and copy the whole buffer
@@ -279,16 +283,22 @@ def main():
                     choices=["decode", "prefill", "engine", "train", "serve"],
                     default="decode")
     ap.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
-    ap.add_argument("--scan-steps", type=int, default=1,
+    ap.add_argument("--scan-steps", type=int, default=8,
                     help="decode mode: true decode steps per dispatch "
-                    "(lax.scan, engine-horizon style); >1 removes the "
-                    "relay's fixed per-dispatch overhead from the timing")
-    ap.add_argument("--scan-unroll", action="store_true",
+                    "(engine-horizon style; with --scan-unroll this is the "
+                    "exact structure the serving engine dispatches). >1 also "
+                    "removes the relay's fixed per-dispatch overhead from "
+                    "the timing; 1 = the old single-step-dispatch probe")
+    ap.add_argument("--scan-unroll", dest="scan_unroll", action="store_true",
+                    default=True,
                     help="decode mode with --scan-steps>1: fully unroll the "
                     "step scan (no outer while loop). Round-5 finding: the "
                     "nested while triggers an XLA memory-space-assignment "
                     "pathology that re-copies the gate_up/o combo-scale "
-                    "stacks HBM->VMEM every LAYER (+3.4 ms/step)")
+                    "stacks HBM->VMEM every LAYER (+3.4 ms/step). Default "
+                    "on — the engine dispatches unrolled horizons")
+    ap.add_argument("--no-scan-unroll", dest="scan_unroll",
+                    action="store_false")
     ap.add_argument("--flash2", choices=["auto", "0", "1"], default="auto",
                     help="decode mode: flash_decode_stacked override. auto = "
                     "llama.forward's default for single-step dispatch, the "
@@ -720,8 +730,20 @@ def main():
         return
 
     # decode mode — headline at the 2048-token serving context
+    short = None
     if not args.skip_short_row:
-        bench_decode(params, cfg, args, 256, max(args.steps // 2, 20), passes=2)
+        s_dt, s_tps, s_frac, s_info = bench_decode(
+            params, cfg, args, 256, max(args.steps // 2, 20), passes=2
+        )
+        # the weight-bound regime row rides in the official JSON (round-4
+        # verdict ask). NB at cache 256 a step is ~7.6 ms, so single-step
+        # dispatch would be dominated by the relay's fixed ~2.8 ms dispatch
+        # latency — the scanned dispatch (default) removes that confound.
+        short = {
+            "cache256_tok_s": round(s_tps, 1),
+            "cache256_vs_baseline": round(s_frac, 4),
+            "cache256_ms_per_step": round(s_dt * 1e3, 2),
+        }
     dt, tps, frac, info = bench_decode(params, cfg, args, args.cache_len, args.steps)
     if info["stalled"]:
         # one full re-measurement before declaring the capture poisoned
@@ -734,7 +756,8 @@ def main():
             f"int{args.bits}-g128 packed 7B decode, batch {args.batch}, "
             f"cache {args.cache_len}"
             + (", int8 KV" if args.kv_dtype == "int8" else "")
-            + (f", {args.scan_steps}-step dispatch" if args.scan_steps > 1 else "")
+            + (f", {args.scan_steps}-step{'-unrolled' if args.scan_unroll else ''} "
+               "dispatch" if args.scan_steps > 1 else "")
             + ", 1 chip"
         ),
         "value": round(tps, 1),
@@ -742,6 +765,7 @@ def main():
         "vs_baseline": round(frac, 4),
         "pass_ms": info["pass_ms"],
         "spread": info["spread"],
+        **(short or {}),
         **({"stalled": True} if info["stalled"] else {}),
     }))
     if info["stalled"]:
