@@ -165,15 +165,20 @@ class Engine:
         # the horizon scan removes the outer while and with it the whole
         # penalty: measured 21.4 -> 18.0 ms/step (XLA attn) and 17.5 with
         # flash2 — which then beats XLA inside the scan as it does outside.
-        # Default ON for TPU; BITDISTILLER_UNROLL_HORIZON=0 restores the
-        # compact loop (smaller executables, slower steps).
+        # Default ON for TPU at 1B-class-and-up widths; the pathology needs
+        # multi-MB per-layer weight stacks to bite, and at toy scale the
+        # wide unrolled programs measured ~2x SLOWER than the loop (26M
+        # spec bench, round 5). BITDISTILLER_UNROLL_HORIZON=0/1 overrides.
         import os as _os
 
         if unroll_horizon is None:
-            unroll_horizon = (
-                jax.default_backend() == "tpu"
-                and _os.environ.get("BITDISTILLER_UNROLL_HORIZON") != "0"
-            )
+            env = _os.environ.get("BITDISTILLER_UNROLL_HORIZON")
+            if env is not None:
+                unroll_horizon = env != "0"
+            else:
+                unroll_horizon = (
+                    jax.default_backend() == "tpu" and cfg.hidden_size >= 1024
+                )
         self.unroll_horizon = bool(unroll_horizon)
         # flash2 inside the horizon scan: explicit True/False overrides;
         # None = auto, resolved PER CACHE BUCKET at dispatch-trace time by

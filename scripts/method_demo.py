@@ -200,10 +200,41 @@ def spec_bench(teacher, cfg, eval_blocks, log):
                            spec_ngram_backoff=True)),
     ]
     for mode, kw in variants:
+        # round-4 protocol: LOOPED horizon 16. The unrolled horizon (the
+        # round-5 7B default) measured ~2x SLOWER at this 26M scale (109 vs
+        # 238 tok/s plain — the MSA re-copy it fixes doesn't bite a model
+        # this small, and the wide unrolled programs cost more than they
+        # save), and longer horizons inflate the acceptance column with
+        # budget-overshoot rounds of self-repetitive text. The relay's
+        # ~2.8 ms dispatch latency still dominates the wall-clock at this
+        # scale, so accepted/round is the portable signal; tok/s ratios
+        # are relay-attachment-specific.
         eng = Engine(teacher, cfg, max_slots=16, max_len=SEQ,
                      sampling=SamplingParams(temperature=0.0),
-                     eos_token_id=None, decode_horizon=16, **(kw or {}))
-        eng.generate(prompts[:2], max_new_tokens=24)  # warm
+                     eos_token_id=None, decode_horizon=16,
+                     unroll_horizon=False, **(kw or {}))
+        # warm with the EXACT timed workload: the adaptive-horizon ladder
+        # (full dispatches + the budget tail) and the 16-slot prefill all
+        # compile per (steps, k) — any left to the timed region costs a
+        # ~5-15 s remote compile each
+        eng.generate(prompts, max_new_tokens=max_new)
+        if kw and eng.spec_adaptive_k:
+            # pre-compile the adaptive ladder ks over the same trajectory
+            for k in eng.spec_k_ladder:
+                eng._spec_k_cur, eng.spec_adaptive_k = k, False
+                try:
+                    eng.generate(prompts[:2], max_new_tokens=max_new)
+                finally:
+                    eng.spec_adaptive_k = True
+        # one more untimed pass along the variant's OWN trajectory: the
+        # adaptive variant's (steps, k) sequence depends on its EMA state,
+        # so the pinned warms above cannot cover it exactly — a leftover
+        # executable compiles mid-timed-pass otherwise (~5-15 s each on
+        # the relay)
+        eng.generate(prompts, max_new_tokens=max_new)
+        # acceptance column reflects the TIMED pass only (the warms above
+        # ran pinned-k trajectories that would pollute it)
+        eng.spec_tokens = eng.spec_rounds = 0
         t0 = time.time()
         outs = eng.generate(prompts, max_new_tokens=max_new)
         dt = time.time() - t0
@@ -256,18 +287,30 @@ def write_spec_section(path: str, res: dict, model_desc: str):
         f"n-gram drafting over held-out real-text prompts through {model_desc}",
         "(greedy, engine path — the same `Engine(spec_decode=True)` serving",
         "configuration as the periodic-prompt bench rows; acceptance counted",
-        "by the engine's spec_tokens/spec_rounds instrumentation).",
+        "by the engine's spec_tokens/spec_rounds instrumentation over the",
+        "timed pass).",
         "",
-        "| engine | spec_k | tok/s | accepted/round (of k+1) | vs plain |",
+        "`accepted/round` is the portable signal. The wall-clock columns are",
+        "RELAY-ATTACHED: at this 26M scale a decode step is ~1-2 ms, so the",
+        "attachment's fixed ~2.8 ms dispatch latency dominates and `vs",
+        "plain` mostly measures dispatches-per-token, exaggerating spec",
+        "gains. `est chip x` derives the chip-bound expectation from the",
+        "measured acceptance with the 7B verify-cost model (a k-draft",
+        "verify round costs ~(1 + 0.09k) plain steps — weight-bound",
+        "forward, measured round 4): (accepted/round) / (1 + 0.09 k).",
+        "The adaptive engine's final k is the policy's own choice.",
+        "",
+        "| engine | spec_k | accepted/round (of k+1) | est chip x | tok/s (relay) |",
         "|---|---|---|---|---|",
     ]
     for mode, r in res.items():
         if mode == "plain":
-            lines.append(f"| plain | — | {r['tok_s']:.0f} | — | 1.00x |")
+            lines.append(f"| plain | — | — | 1.00x | {r['tok_s']:.0f} |")
         else:
+            est = r["accept"] / (1 + 0.09 * r["k"])
             lines.append(
-                f"| {mode} | {r['k']} | {r['tok_s']:.0f} | "
-                f"{r['accept']:.2f}/{r['k'] + 1} | {r['tok_s']/plain:.2f}x |"
+                f"| {mode} | {r['k']} | {r['accept']:.2f}/{r['k'] + 1} | "
+                f"{est:.2f}x | {r['tok_s']:.0f} |"
             )
     lines.append("")
     replace_section(path, header, "\n".join(lines))
@@ -293,6 +336,10 @@ def main():
     ap.add_argument("--spec-only", action="store_true",
                     help="train the teacher, run the spec bench, skip the "
                     "quantization pipeline")
+    ap.add_argument("--teacher-ckpt", default=None,
+                    help="pickle path: load the teacher from it if present, "
+                    "else train and save (skips the ~12-min retrain when "
+                    "iterating on the spec bench)")
     args = ap.parse_args()
     log = lambda s: print(s, file=sys.stderr, flush=True)
 
@@ -326,9 +373,28 @@ def main():
         corpus_desc = f"an order-2 Markov language (vocab {VOCAB})"
     calib_blocks = train_blocks[:16]
 
-    log(f"training teacher ({args.teacher_steps} steps)...")
-    teacher = train_teacher(cfg, train_blocks, args.teacher_steps, args.batch,
-                            log, lr=1e-3 if args.corpus == "source" else 3e-3)
+    if args.teacher_ckpt and os.path.exists(args.teacher_ckpt):
+        log(f"loading teacher from {args.teacher_ckpt}...")
+        import pickle
+
+        with open(args.teacher_ckpt, "rb") as f:
+            host_tree = pickle.load(f)
+        teacher = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).astype(jnp.bfloat16), host_tree
+        )
+    else:
+        log(f"training teacher ({args.teacher_steps} steps)...")
+        teacher = train_teacher(cfg, train_blocks, args.teacher_steps, args.batch,
+                                log, lr=1e-3 if args.corpus == "source" else 3e-3)
+        if args.teacher_ckpt:
+            import pickle
+
+            host_tree = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32), teacher
+            )
+            with open(args.teacher_ckpt, "wb") as f:
+                pickle.dump(host_tree, f)
+            log(f"teacher saved to {args.teacher_ckpt}")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
 
     def ppl(params, quantizer=None):
