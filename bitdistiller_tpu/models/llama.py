@@ -495,12 +495,30 @@ def forward(
             or (flash2_env is None and jax.default_backend() == "tpu")
         )
     flash2_proto = None
+    flash2_scales = (None, None)
     if flash_ok and flash2_on:
         start_vec = (pos_vec if per_slot else jnp.full((b,), pos_vec)).astype(jnp.int32)
         flash2_proto = (
             start_vec, cfg.sliding_window, attn_len,
             jax.default_backend() != "tpu",
         )
+        if cache.quantized:
+            # pre-pad the int8 scale planes for the kernel's 8-sublane
+            # blocks ONCE per step — padding inside the per-layer call
+            # would materialize the whole padded stack every layer
+            # (measured ~1.2 GB/dispatch of junk traffic at hkv=4)
+            from ..ops.decode_attention import (
+                pad_scales_for_flash,
+                plan_head_group,
+            )
+
+            hg = plan_head_group(
+                cfg.num_kv_heads, cache.k.shape[3], cfg.actual_head_dim
+            )
+            flash2_scales = (
+                pad_scales_for_flash(cache.k_scale, hg),
+                pad_scales_for_flash(cache.v_scale, hg),
+            )
     else:
         attn_len = None  # the XLA path always streams the full window
 
@@ -547,7 +565,7 @@ def forward(
             new_h, new_kv = _block(
                 cfg, with_packed(lp, li), hidden, cos, sin, None, None,
                 cache_pos, quantizer, attn_bias=attn_bias,
-                flash2_args=(cache.k, cache.v, cache.k_scale, cache.v_scale,
+                flash2_args=(cache.k, cache.v, *flash2_scales,
                              li, start2, window2, alen2, interp2),
             )
             return new_h, new_kv

@@ -83,6 +83,26 @@ def _plan_blocks(hkv: int, t: int, d: int, itemsize: int,
     return hg, bt
 
 
+def plan_head_group(hkv: int, t: int, d: int, itemsize: int = 1) -> int:
+    """The head group the int8 kernel will use for this cache shape —
+    callers pre-padding scale planes must pad for the same hg."""
+    return _plan_blocks(hkv, t, d, itemsize, quantized=True)[0]
+
+
+def pad_scales_for_flash(sc: jnp.ndarray, hg: int) -> jnp.ndarray:
+    """Re-layout int8-KV scale planes for the kernel's 8-sublane blocks:
+    [L, B, Hkv, T] -> [L, B, G, hg->8, T] -> [L, B, G*8, T] (G = Hkv//hg,
+    junk rows beyond hg per group are never read). Identity bitcast when
+    hg == 8. Call ONCE per decode step, outside the layer scan — the pad
+    materializes a (<2x scales) copy."""
+    L, b, hkv, t = sc.shape
+    g = hkv // hg
+    sc = sc.astype(jnp.float32).reshape(L, b, g, hg, t)
+    if hg < 8:
+        sc = jnp.pad(sc, ((0, 0), (0, 0), (0, 0), (0, 8 - hg), (0, 0)))
+    return sc.reshape(L, b, g * 8, t)
+
+
 def _fd2_kernel(
     li_ref,  # scalar prefetch (1,) int32: layer index (used by index_maps)
     start_ref,  # scalar prefetch (B,) int32: per-slot cache lengths
@@ -228,22 +248,26 @@ def flash_decode_stacked(
     if quantized:
         # The [.., 8, bt] f32 scale-plane block needs 8 sublanes for the TPU
         # lowering, so each grid cell's hg scale rows get their own 8-row
-        # segment: [L, B, Hkv, T] -> [L, B, G, hg->8, T] -> [L, B, G*8, T]
-        # (G = hkv // hg). When hg == 8 the pad/reshape is an identity
-        # bitcast; otherwise it materializes a tiny (<2x scales, ~tens of
-        # MB) padded copy per step — negligible next to the code planes.
+        # segment (pad_scales_for_flash): [L, B, Hkv, T] -> [L, B, G*8, T].
         # This lifts the round-4 hkv % 8 == 0 restriction (the reference's
         # FT kernel handles arbitrary num_kv_heads,
-        # decoder_masked_multihead_attention.h:1-184).
-        def _pad8(sc):
-            g = hkv // hg
-            sc = sc.astype(jnp.float32).reshape(L, b, g, hg, t)
-            if hg < 8:
-                sc = jnp.pad(sc, ((0, 0), (0, 0), (0, 0), (0, 8 - hg), (0, 0)))
-            return sc.reshape(L, b, g * 8, t)
-
-        k_scale = _pad8(k_scale)
-        v_scale = _pad8(v_scale)
+        # decoder_masked_multihead_attention.h:1-184). Callers that invoke
+        # the kernel per LAYER (the model's decode scan) MUST pre-pad ONCE
+        # outside the scan — padding here would materialize the whole
+        # padded stack every layer (measured ~1.2 GB/dispatch of junk
+        # traffic at hkv=4). Pre-padded inputs are detected by shape.
+        g = hkv // hg
+        if k_scale.shape[2] == hkv and (hg < 8 or g * 8 != hkv):
+            k_scale = pad_scales_for_flash(k_scale, hg)
+            v_scale = pad_scales_for_flash(v_scale, hg)
+        elif k_scale.shape[2] != g * 8:
+            raise ValueError(
+                f"scale planes have head dim {k_scale.shape[2]}; expected "
+                f"{hkv} (raw) or {g * 8} (pre-padded for hg={hg} — see "
+                "pad_scales_for_flash/plan_head_group)"
+            )
+        k_scale = k_scale.astype(jnp.float32)
+        v_scale = v_scale.astype(jnp.float32)
     t_lim = t if attn_len is None or attn_len > t else attn_len
     nt = max(1, -(-t_lim // bt))
 

@@ -72,8 +72,24 @@ def ref_stack():
         bnb.__version__ = "0.0.0-stub"
         bnb.nn = types.SimpleNamespace(Linear4bit=type("Linear4bit", (), {}))
         sys.modules["bitsandbytes"] = bnb
-    tu = _load_ref_module("test_utils", f"{REF}/test/test_utils.py")
-    wp = _load_ref_module("ref_wiki_ppl", f"{REF}/test/general/wiki_ppl.py")
+    # full-suite runs import THIS repo's tests/test_utils.py under the bare
+    # name "test_utils" (pytest rootdir import mode) before this fixture
+    # runs — displace it for the reference import, then restore
+    prior = sys.modules.get("test_utils")
+    foreign = prior is not None and not hasattr(
+        prior, "pseudo_quantize_model_weight"
+    )
+    if foreign:
+        del sys.modules["test_utils"]
+    try:
+        tu = _load_ref_module("test_utils", f"{REF}/test/test_utils.py")
+        wp = _load_ref_module("ref_wiki_ppl", f"{REF}/test/general/wiki_ppl.py")
+    finally:
+        if foreign:
+            sys.modules["test_utils"] = prior
+        elif prior is None:
+            # leave no reference module squatting on the bare name
+            sys.modules.pop("test_utils", None)
     return tu, wp
 
 
