@@ -5,6 +5,12 @@ from .mesh import (
     param_specs,
     shard_params,
 )
+from .pipeline import (
+    make_pp_mesh,
+    pipeline_forward,
+    pp_param_specs,
+    shard_params_pp,
+)
 
 __all__ = [
     "batch_spec",
@@ -12,4 +18,8 @@ __all__ = [
     "packed_param_specs",
     "param_specs",
     "shard_params",
+    "make_pp_mesh",
+    "pipeline_forward",
+    "pp_param_specs",
+    "shard_params_pp",
 ]
