@@ -320,6 +320,12 @@ def main():
                     help="train mode: gradient-accumulation steps (the "
                     "reference recipe trains at micro-bs 2 x accum 8, "
                     "train.sh:29-37; amortizes the AdamW state sweep)")
+    ap.add_argument("--fused-accum", action="store_true",
+                    help="train mode: quantize-once-per-accum-cycle — one "
+                    "jitted call per optimizer cycle over stacked "
+                    "micro-batches (trainer.make_fused_train_step); the "
+                    "weight fake-quant fwd/bwd runs once per cycle instead "
+                    "of once per micro-step")
     ap.add_argument("--remat", default="full",
                     choices=["full", "save_quantized", "save_dots", "save_qkvo",
                              "none"],
@@ -375,6 +381,7 @@ def main():
                          gradient_checkpointing=args.remat != "none",
                          remat_policy=args.remat,
                          grad_accum=args.grad_accum,
+                         fused_accum=args.fused_accum and args.grad_accum > 1,
                          teacher_flash=True if args.teacher_flash else None)
         n_label = "0.5B" if full else "toy"
         print(f"building {n_label} teacher+student...", file=sys.stderr)
@@ -386,7 +393,14 @@ def main():
         state = init_train_state(teacher, tc)
         # teacher rides as an ARGUMENT: closed-over params are baked into the
         # HLO as constants (minutes of serialization + relay re-upload)
-        step = jax.jit(make_train_step(cfg, tc), donate_argnums=(0,))
+        if tc.fused_accum:
+            from bitdistiller_tpu.train import make_fused_train_step
+
+            # quantize-once-per-accum-cycle: one jitted call per optimizer
+            # cycle over stacked micro-batches (trainer.make_fused_train_step)
+            step = jax.jit(make_fused_train_step(cfg, tc), donate_argnums=(0,))
+        else:
+            step = jax.jit(make_train_step(cfg, tc), donate_argnums=(0,))
         rng = np.random.default_rng(0)
         batch = {
             "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (bsz, seq)), jnp.int32),
@@ -397,11 +411,20 @@ def main():
             # packed/unpadded batches have no mask; lets TRAIN_FLASH take the
             # pure-causal kernel path instead of segment-ids
             del batch["attention_mask"]
+        if tc.fused_accum:
+            # the cycle step consumes all micro-batches at once: [k, B, S]
+            batch = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (args.grad_accum,) + x.shape),
+                batch,
+            )
         beta = jnp.asarray(0.5)
         state, metrics = step(state, batch, beta, teacher)
         float(metrics["loss"])  # warm + first-transfer
         n_iter = max(args.steps // 10, 5)
-        if args.grad_accum > 1:
+        if tc.fused_accum:
+            # each call is a whole cycle; report per-MICRO-step time below
+            n_iter = max(n_iter // args.grad_accum, 2)
+        elif args.grad_accum > 1:
             # time a whole number of optimizer cycles: accumulation
             # micro-steps skip the AdamW update (reference recipe:
             # train.sh --gradient_accumulation_steps 8), so only every
@@ -422,6 +445,8 @@ def main():
                 loss = metrics["loss"]
             final_loss = float(loss)  # syncs the whole chain
         dt = (time.time() - t0) / n_iter
+        if tc.fused_accum:
+            dt /= args.grad_accum  # per-micro-batch time, comparable across modes
         print(f"  loss {final_loss:.4f}", file=sys.stderr)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(teacher))
         toks = bsz * seq
@@ -438,6 +463,7 @@ def main():
             "metric": (
                 f"CAKLD KD-QAT step, {n_label}, bs {bsz} x {seq}"
                 + (f" x accum {args.grad_accum}" if args.grad_accum > 1 else "")
+                + (" (fused cycle)" if tc.fused_accum else "")
                 + ", 1 chip"
             ),
             "value": round(toks / dt, 1),

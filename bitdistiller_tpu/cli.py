@@ -384,6 +384,12 @@ def build_parser():
                     choices=["bfloat16", "float32"],
                     help="student latent dtype; bfloat16 keeps f32 master "
                          "weights in the optimizer (DeepSpeed bf16 mode)")
+    tr.add_argument("--fused_accum", action="store_true",
+                    help="quantize-once-per-accum-cycle: run each optimizer "
+                    "cycle as ONE jitted call over stacked micro-batches "
+                    "(the weight fake-quant fwd/bwd runs once per cycle "
+                    "instead of once per micro-step); same averaged-grad / "
+                    "clip-once / Adam-once semantics, smaller opt state")
     tr.add_argument("--coordinator_address", default=None,
                     help="host:port of process 0 for multi-host runs "
                          "(hostfile/torchrun parity; None = single process "

@@ -4,9 +4,12 @@ Replaces the reference's vendored ~16k-LoC lm-eval fork (test/general/lm_eval,
 evaluator.py:17-120) with a compact runner covering the tasks the reference
 actually evaluates (llm_eval.py:66-106, readme.md:183-189): MMLU
 (hendrycksTest-*, 5-shot), ARC-easy/challenge, HellaSwag, PIQA, Winogrande,
-BoolQ — plus OpenBookQA, SciQ, COPA, and LAMBADA from the fork's wider task
-registry — scored by loglikelihood (acc) and char-length-normalized
-loglikelihood (acc_norm), identical to lm-eval's metrics.
+BoolQ — plus OpenBookQA, SciQ, COPA, LogiQA, MathQA, RACE, and LAMBADA from
+the fork's wider task registry — scored by loglikelihood (acc) and
+char-length-normalized loglikelihood (acc_norm), identical to lm-eval's
+metrics. Word-level wikitext perplexity (rolling loglikelihood) and
+generative greedy_until tasks (gsm8k, triviaqa) run through the same
+registry (run_tasks / run_gen_tasks).
 
 The model adaptor is `LogLikelihoodFn`: batched sum-of-logprobs of a
 continuation given a context, padded to length buckets so jit recompiles stay
@@ -432,6 +435,81 @@ def evaluate_perplexity_task(ll_fn, docs: Sequence[str], limit=None) -> dict:
     }
 
 
+def _logiqa_docs(split="test"):
+    """LogiQA Passage/Question/Choices/Answer format (lm-eval tasks/
+    logiqa.py:56-80; label is a letter a-d into the options list)."""
+    from ..data.offline import load_dataset
+
+    letters = ["a", "b", "c", "d"]
+    ds = load_dataset("logiqa", split=split)
+    docs = []
+    for d in ds:
+        prompt = "Passage: " + d["context"] + "\n"
+        prompt += "Question: " + d["question"] + "\nChoices:\n"
+        for letter, option in zip(letters, d["options"]):
+            prompt += f"{letter.upper()}. {option}\n"
+        prompt += "Answer:"
+        docs.append(
+            MCDoc(prompt, [" " + o for o in d["options"]],
+                  letters.index(d["label"]))
+        )
+    return docs
+
+
+def _mathqa_docs(split="test"):
+    """MathQA 'Question: .../Answer:' with choices parsed out of the packed
+    'a ) ... , b ) ...' options string (lm-eval tasks/mathqa.py:51-63)."""
+    import re as _re
+
+    from ..data.offline import load_dataset
+
+    ds = load_dataset("math_qa", split=split)
+    docs = []
+    for d in ds:
+        choices = [
+            c[4:].rstrip(" ,")
+            for c in _re.findall(r"[abcd] \) .*?, |e \) .*?$", d["options"])
+        ]
+        gold = ["a", "b", "c", "d", "e"].index(d["correct"])
+        docs.append(
+            MCDoc("Question: " + d["Problem"] + "\nAnswer:",
+                  [" " + c for c in choices], gold)
+        )
+    return docs
+
+
+def _race_docs(split="test"):
+    """RACE-high, GPT-3 protocol (lm-eval tasks/race.py:55-137): the HF rows
+    are one-per-question, but the task collates per ARTICLE — the last
+    question is the query and the earlier ones ride in-context as answered
+    QA pairs (cloze '_' questions keep their fill-in form). acc only."""
+    import collections
+
+    from ..data.offline import load_dataset
+
+    letter_to_num = {"A": 0, "B": 1, "C": 2, "D": 3}
+    ds = load_dataset("race", "high", split=split)
+    by_article = collections.defaultdict(list)
+    for d in ds:
+        by_article[d["article"]].append(d)
+    docs = []
+    for article, probs in by_article.items():
+        text = "Article: " + article + "\n\n"
+        for p in probs[:-1]:
+            ans = p["options"][letter_to_num[p["answer"]]]
+            if p["question"][-6:] == "  _  .":
+                text += p["question"][-5:] + ans + "\n"
+            else:
+                text += "Question: " + p["question"] + "\nAnswer: " + ans + "\n"
+        last = probs[-1]
+        text += last["question"]
+        docs.append(
+            MCDoc(text, [" " + o for o in last["options"]],
+                  letter_to_num[last["answer"]])
+        )
+    return docs
+
+
 TASK_REGISTRY: dict[str, Callable[[], list]] = {
     "hellaswag": _hellaswag_docs,
     "piqa": _piqa_docs,
@@ -442,6 +520,9 @@ TASK_REGISTRY: dict[str, Callable[[], list]] = {
     "openbookqa": _openbookqa_docs,
     "sciq": _sciq_docs,
     "copa": _copa_docs,
+    "logiqa": _logiqa_docs,
+    "mathqa": _mathqa_docs,
+    "race": _race_docs,
 }
 
 # Cloze-style tasks dispatch to evaluate_cloze_task instead of evaluate_task.
@@ -456,6 +537,7 @@ TASK_METRICS: dict[str, tuple] = {
     "winogrande": ("acc",),
     "boolq": ("acc",),
     "copa": ("acc",),
+    "race": ("acc",),  # tasks/race.py:150-160 reports acc only
 }
 
 # Split-preference parity note: the reference's vendored lm-eval plumbs a

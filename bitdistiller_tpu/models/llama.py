@@ -699,3 +699,23 @@ def fake_quant_weights(params: Params, quantizer) -> Params:
         w = leaf["w"].astype(jnp.float32)
         leaf["w"] = jax.vmap(quantizer)(w).astype(params["layers"][name]["w"].dtype)
     return out
+
+
+def quantize_layer_weights(params: Params, quantizer) -> Params:
+    """Differentiable one-shot weight quantization, bit-identical to what
+    `linear()` would compute in-forward (layers.py:101-109): the quantizer
+    runs in the weight's OWN dtype (no f32 upcast — the reference QLinear
+    quantizes the bf16 student weights directly, qlinear.py:63-77), and
+    gradients flow through the STE/scale paths exactly as in-forward QAT.
+
+    Returned tree drops into `forward(..., quantizer=None)` unchanged. Used
+    by the fused grad-accumulation step (train/trainer.py
+    make_fused_train_step) to pay the fake-quant fwd+bwd ONCE per optimizer
+    cycle instead of once per micro-batch."""
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    for name in LAYER_LINEARS:
+        if name not in out["layers"]:
+            continue  # e.g. no 'gate' for plain-MLP families
+        leaf = out["layers"][name]
+        out["layers"][name] = dict(leaf, w=jax.vmap(quantizer)(leaf["w"]))
+    return out

@@ -105,14 +105,18 @@ def make_hybrid_mesh(tp: int = 1, dp: Optional[int] = None) -> Mesh:
         return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def global_batch_from_host(batch: dict, mesh: Mesh) -> dict:
+def global_batch_from_host(batch: dict, mesh: Mesh, *, stacked: bool = False) -> dict:
     """Assemble a GLOBAL dp-sharded batch from each host's local rows.
 
     Every process passes its own [local_B, ...] numpy batch; the returned
     jax.Arrays have global shape [local_B * process_count, ...] sharded over
     the dp axis. Single-process, this is an ordinary device_put.
+
+    stacked=True: leaves carry a leading micro-batch axis [k, local_B, ...]
+    (the fused-accumulation cycle step, trainer.make_fused_train_step) — the
+    dp shard moves to axis 1, the k axis stays replicated.
     """
-    sharding = NamedSharding(mesh, P("dp"))
+    sharding = NamedSharding(mesh, P(None, "dp") if stacked else P("dp"))
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)

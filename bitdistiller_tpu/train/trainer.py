@@ -46,6 +46,13 @@ class TrainConfig:
     lr_scheduler: str = "constant"  # "constant" | "cosine"
     total_steps: int = 1000
     grad_accum: int = 1
+    # fused_accum=True: one jitted call per optimizer CYCLE (stacked
+    # micro-batches, quantize-once, f32 scan-carry accumulation) via
+    # make_fused_train_step — the fake-quant fwd/bwd runs once per cycle
+    # instead of once per micro-step. Semantics match the stepwise path
+    # (grads averaged, clip+Adam once per cycle); opt state is the smaller
+    # MasterWeightsState (no persistent accumulator tree).
+    fused_accum: bool = False
     max_grad_norm: float = 1.0
     gradient_checkpointing: bool = True
     # "full" recomputes everything in bwd; "save_quantized" keeps the
@@ -225,6 +232,10 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         ),
     )
     latent_is_f32 = jnp.dtype(tc.param_dtype) == jnp.float32
+    if tc.fused_accum:
+        # the fused cycle step hands opt.update the already-averaged cycle
+        # gradient — no accumulation wrapper; master sweep every update
+        return opt if latent_is_f32 else with_f32_master(opt)
     if tc.grad_accum > 1 and not latent_is_f32:
         # fused path: accumulate in f32, run Adam + the master/latent sweep
         # only on cycle boundaries (see with_f32_master_accum docstring)
@@ -322,6 +333,155 @@ def master_params(state: TrainState):
     return state.params
 
 
+def _student_remat(tc: TrainConfig, quantizer):
+    if (
+        tc.gradient_checkpointing
+        and tc.remat_policy in ("save_quantized", "save_dots", "save_qkvo")
+        and quantizer is not None
+    ):
+        return tc.remat_policy
+    return tc.gradient_checkpointing
+
+
+def _kd_or_ce_loss(
+    cfg, tc: TrainConfig, params, batch, beta, teacher_params,
+    *, quantizer, student_remat,
+):
+    """Per-micro-batch KD (CAKLD etc.) or plain-CE loss — the body shared by
+    the stepwise step and the fused-accumulation cycle step."""
+    student_logits, _ = llama.forward(
+        params,
+        cfg,
+        batch["input_ids"],
+        quantizer=quantizer,
+        attn_mask=batch.get("attention_mask"),
+        remat=student_remat,
+    )
+    if teacher_params is not None and tc.train_kd:
+        teacher_logits, _ = llama.forward(
+            jax.lax.stop_gradient(teacher_params),
+            cfg,
+            batch["input_ids"],
+            attn_mask=batch.get("attention_mask"),
+            remat=tc.gradient_checkpointing,
+            use_train_flash=tc.teacher_flash,
+        )
+        teacher_logits = jax.lax.stop_gradient(teacher_logits)
+        return tc.kd_loss_scale * kd_loss(
+            tc.kd_loss_type,
+            batch["labels"],
+            student_logits,
+            teacher_logits,
+            beta=beta,
+            temperature=tc.kd_tmp,
+        )
+    labels = batch["labels"]
+    shift_logits = student_logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_fused_train_step(
+    cfg: mcfg.ModelConfig,
+    tc: TrainConfig,
+    teacher_params=None,
+) -> Callable:
+    """One optimizer CYCLE per call: quantize-once-per-accum-cycle.
+
+    The stepwise path re-runs the weight fake-quant fwd (and its bwd: the
+    STE + non-detached scale-path VJP, quant/core.py fake_quant_int_kaxis)
+    on every micro-step even though the latents only move on cycle
+    boundaries — grad_accum-1 of those passes are identical. Here the cycle
+    is ONE jitted call over stacked micro-batches (leaves [k, B, S]):
+
+      1. qparams, quant_vjp = jax.vjp(quantize_layer_weights, params) — the
+         fake-quant fwd runs ONCE (bit-identical to the in-forward
+         quantization, models/llama.py quantize_layer_weights);
+      2. lax.scan over the k micro-batches: per-micro value_and_grad wrt
+         qparams (fwd/bwd interleaved per iteration, so peak activation
+         memory stays one micro-batch), f32 accumulation in the carry — the
+         same f32-accumulate semantics as with_f32_master_accum;
+      3. the AVERAGED cotangent goes through quant_vjp once (VJPs are
+         linear, so backprop-of-mean == mean-of-backprops; the one bf16
+         rounding of the mean before the vjp is the only numeric delta vs
+         stepwise, and the f32 path is summation-order-exact);
+      4. clip + AdamW + the f32-master/latent sweep once, as on a stepwise
+         cycle boundary.
+
+    Reference semantics preserved: grads averaged over the cycle, clipping
+    and Adam applied once per cycle on the averaged gradient (DeepSpeed
+    bf16-mode + --gradient_accumulation_steps, train/config/zero.json,
+    scripts/train/train.sh:29-37). Requires tc.fused_accum=True so
+    make_optimizer skips the per-micro accumulation wrapper (opt state is a
+    plain MasterWeightsState — smaller than MasterAccumState by one full
+    f32 tree; the accumulator lives in the scan carry instead).
+    """
+    assert tc.fused_accum, "make_fused_train_step requires tc.fused_accum"
+    quantizer = make_quantizer(tc) if tc.quant_type else None
+    opt = make_optimizer(tc)
+    k = tc.grad_accum
+    # weights enter the micro forward already quantized; save_dots/save_qkvo
+    # still tag their projection outputs, save_quantized degenerates to full
+    fused_remat = (
+        tc.remat_policy
+        if tc.gradient_checkpointing
+        and tc.remat_policy in ("save_dots", "save_qkvo")
+        else tc.gradient_checkpointing
+    )
+
+    def micro_loss(qparams, batch, beta, teacher):
+        return _kd_or_ce_loss(
+            cfg, tc, qparams, batch, beta, teacher,
+            quantizer=None, student_remat=fused_remat,
+        )
+
+    def cycle_step(state: TrainState, batches, beta, teacher=None):
+        t = teacher if teacher is not None else teacher_params
+
+        def quant_fn(params):
+            if quantizer is None:
+                return params
+            return llama.quantize_layer_weights(params, quantizer)
+
+        qparams, quant_vjp = jax.vjp(quant_fn, state.params)
+
+        def body(acc, batch):
+            loss, g = jax.value_and_grad(micro_loss)(qparams, batch, beta, t)
+            acc = jax.tree_util.tree_map(
+                lambda a, gg: a + gg.astype(jnp.float32), acc, g
+            )
+            return acc, loss
+
+        acc0 = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), qparams
+        )
+        acc, losses = jax.lax.scan(body, acc0, batches)
+        mean_q = jax.tree_util.tree_map(
+            lambda a, q: (a / k).astype(q.dtype), acc, qparams
+        )
+        (grads,) = quant_vjp(mean_q)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        if isinstance(new_opt, MasterWeightsState):
+            new_params = jax.tree_util.tree_map(
+                lambda m, p: m.astype(p.dtype), new_opt.master, state.params
+            )
+        else:
+            new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(
+            jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        )
+        return (
+            TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
+            {"loss": losses.mean(), "grad_norm": gnorm, "micro_losses": losses},
+        )
+
+    return cycle_step
+
+
 def make_train_step(
     cfg: mcfg.ModelConfig,
     tc: TrainConfig,
@@ -342,52 +502,13 @@ def make_train_step(
     """
     quantizer = make_quantizer(tc) if tc.quant_type else None
     opt = make_optimizer(tc)
-    if (
-        tc.gradient_checkpointing
-        and tc.remat_policy in ("save_quantized", "save_dots", "save_qkvo")
-        and quantizer is not None
-    ):
-        student_remat = tc.remat_policy
-    else:
-        student_remat = tc.gradient_checkpointing
+    student_remat = _student_remat(tc, quantizer)
 
     def loss_fn(params, batch, beta, teacher_params):
-        student_logits, _ = llama.forward(
-            params,
-            cfg,
-            batch["input_ids"],
-            quantizer=quantizer,
-            attn_mask=batch.get("attention_mask"),
-            remat=student_remat,
+        return _kd_or_ce_loss(
+            cfg, tc, params, batch, beta, teacher_params,
+            quantizer=quantizer, student_remat=student_remat,
         )
-        if teacher_params is not None and tc.train_kd:
-            teacher_logits, _ = llama.forward(
-                jax.lax.stop_gradient(teacher_params),
-                cfg,
-                batch["input_ids"],
-                attn_mask=batch.get("attention_mask"),
-                remat=tc.gradient_checkpointing,
-                use_train_flash=tc.teacher_flash,
-            )
-            teacher_logits = jax.lax.stop_gradient(teacher_logits)
-            loss = tc.kd_loss_scale * kd_loss(
-                tc.kd_loss_type,
-                batch["labels"],
-                student_logits,
-                teacher_logits,
-                beta=beta,
-                temperature=tc.kd_tmp,
-            )
-        else:
-            labels = batch["labels"]
-            shift_logits = student_logits[:, :-1]
-            shift_labels = labels[:, 1:]
-            valid = shift_labels != IGNORE_INDEX
-            safe = jnp.where(valid, shift_labels, 0)
-            logp = jax.nn.log_softmax(shift_logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-            loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
-        return loss
 
     def train_step(state: TrainState, batch, beta, teacher=None):
         t = teacher if teacher is not None else teacher_params

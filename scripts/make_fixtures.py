@@ -276,6 +276,108 @@ def triviaqa_like():
     write_jsonl("trivia_qa__rc.nocontext__validation.jsonl", rows)
 
 
+def logiqa_like():
+    """Hand-written deductive-reasoning MCQs in the reference lm-eval logiqa
+    schema (context/question/options/label-letter, tasks/logiqa.py:56-80).
+    Schema-faithful; scores are not LogiQA scores."""
+    rows = [
+        {
+            "context": "All cats are mammals. Whiskers is a cat.",
+            "question": "Which statement must be true?",
+            "options": [
+                "Whiskers is a mammal.", "Whiskers is a reptile.",
+                "Some mammals are not cats.", "Whiskers is not an animal.",
+            ],
+            "label": "a",
+        },
+        {
+            "context": "If it rains, the ground gets wet. The ground is dry.",
+            "question": "What can be concluded?",
+            "options": [
+                "It rained.", "It did not rain.",
+                "The ground is wet.", "Nothing can be concluded.",
+            ],
+            "label": "b",
+        },
+        {
+            "context": ("Ann is taller than Ben. Ben is taller than Cal."),
+            "question": "Who is the shortest?",
+            "options": ["Ann", "Ben", "Cal", "Cannot be determined"],
+            "label": "c",
+        },
+        {
+            "context": ("Every member of the chess club also joined the math "
+                        "club. Dana did not join the math club."),
+            "question": "Which statement must be true?",
+            "options": [
+                "Dana joined the chess club.",
+                "Dana is in the math club.",
+                "Everyone in the math club plays chess.",
+                "Dana is not in the chess club.",
+            ],
+            "label": "d",
+        },
+    ]
+    write_jsonl("logiqa__default__test.jsonl", rows)
+
+
+def mathqa_like():
+    """Arithmetic MCQs with exact answers in the hub math_qa schema
+    (Problem / packed 'a ) ...' options string / correct letter —
+    tasks/mathqa.py:51-63 parses choices out of the packed string).
+    Schema-faithful; scores are not MathQA scores."""
+    rows = []
+    for i, (a, b) in enumerate([(12, 7), (25, 14), (31, 9), (44, 18), (53, 27)]):
+        correct = a + b
+        opts = [correct - 2, correct - 1, correct, correct + 1, correct + 3]
+        letter = "c"
+        packed = (f"a ) {opts[0]} , b ) {opts[1]} , c ) {opts[2]} , "
+                  f"d ) {opts[3]} , e ) {opts[4]}")
+        rows.append({
+            "Problem": f"what is {a} + {b} ?",
+            "options": packed,
+            "correct": letter,
+        })
+    write_jsonl("math_qa__default__test.jsonl", rows)
+
+
+def race_like():
+    """Short reading passages in the hub race/high schema (one row per
+    QUESTION; article/question/options/answer-letter — the task loader
+    collates rows per article, tasks/race.py:55-137). Two questions share
+    the first article so the collation path is exercised.
+    Schema-faithful; scores are not RACE scores."""
+    art1 = ("Tom walked to the market on Saturday morning. He bought three "
+            "apples and a loaf of bread, then met his friend Sara near the "
+            "fountain. They talked for an hour before Tom went home.")
+    art2 = ("The town library opens at nine and closes at five. On Fridays "
+            "it stays open two hours longer for the evening reading club.")
+    rows = [
+        {
+            "article": art1,
+            "question": "What did Tom buy at the market?",
+            "options": [
+                "Three apples and a loaf of bread", "A basket of pears",
+                "Two fish", "Nothing",
+            ],
+            "answer": "A",
+        },
+        {
+            "article": art1,
+            "question": "Who did Tom meet near the fountain?",
+            "options": ["His teacher", "His brother", "Sara", "Nobody"],
+            "answer": "C",
+        },
+        {
+            "article": art2,
+            "question": "When does the library close on Fridays?",
+            "options": ["At five", "At nine", "At noon", "At seven"],
+            "answer": "D",
+        },
+    ]
+    write_jsonl("race__high__test.jsonl", rows)
+
+
 README = """\
 # Offline eval fixtures
 
@@ -308,6 +410,11 @@ Provenance / honesty notes:
 - `trivia_qa__rc.nocontext__validation.jsonl` — hand-written general-
   knowledge Q/A with alias lists in the hub trivia_qa schema.
   Schema-faithful; scores are not TriviaQA scores.
+- `logiqa__default__test.jsonl` / `math_qa__default__test.jsonl` /
+  `race__high__test.jsonl` — hand-written rows with verified answers in
+  the respective hub/lm-eval schemas (mathqa's packed options string,
+  race's one-row-per-question collation). Schema-faithful; scores are
+  not LogiQA/MathQA/RACE scores.
 """
 
 
@@ -321,6 +428,9 @@ def main():
     humaneval_mini()
     gsm8k_hub_format()
     triviaqa_like()
+    logiqa_like()
+    mathqa_like()
+    race_like()
     with open(os.path.join(OUT, "README.md"), "w") as f:
         f.write(README)
     print("fixtures written to", OUT)

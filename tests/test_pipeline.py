@@ -133,6 +133,38 @@ def test_full_training_pipeline(tmp_path, tiny):
     assert cfg2.num_layers == cfg.num_layers
 
 
+def test_full_training_pipeline_fused_accum(tmp_path, tiny):
+    """run_training with --fused_accum: cycles consume stacked micro-batch
+    blocks (one jitted call per optimizer cycle, quantize-once) and the
+    pipeline still trains, logs, and saves."""
+    from bitdistiller_tpu.train.pipeline import run_training
+
+    cfg, params = tiny
+    data_path = tmp_path / "teacher.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(16):
+            f.write(json.dumps([[f"prompt number {i} ", f"reply text {i}"]]) + "\n")
+
+    args = types.SimpleNamespace(
+        model_name_or_path="unused",
+        data_path=str(data_path),
+        output_dir=str(tmp_path / "out"),
+        bits=2, q_group_size=64, quant_type="int2-asym",
+        clip=None, train_kd=True, kd_loss_type="cakld", cakld_steps=2,
+        learning_rate=1e-4, num_train_epochs=1,
+        per_device_train_batch_size=2, gradient_accumulation_steps=2,
+        model_max_length=64, max_train_samples=None,
+        lr_scheduler_type="constant", warmup_ratio=0.0,
+        save_steps=0, eval_steps=0, logging_steps=2, seed=0,
+        dp=None, tp=1, resume=False, fused_accum=True,
+    )
+    summary = run_training(args, tokenizer=FakeTok(), model=(params, cfg))
+    assert summary["steps"] > 0
+    assert summary["final_loss"] is not None and np.isfinite(summary["final_loss"])
+    params2, cfg2 = load_hf_checkpoint(str(tmp_path / "out"), dtype=jnp.float32)
+    assert cfg2.num_layers == cfg.num_layers
+
+
 def test_kd_teacher_is_unclipped(tmp_path, tiny, monkeypatch):
     """The clip cache shapes the QAT student only; the KD teacher must stay
     the unclipped full-precision model (train.py:450-458 clips the student,
@@ -292,6 +324,60 @@ def test_legacy_multisteps_checkpoint_migrates(tmp_path, tiny):
     assert int(state.opt_state.count) == 0
     assert float(jnp.abs(state.opt_state.acc["layers"]["q"]["w"]).max()) == 0.0
     assert int(state.step) == 7
+
+
+def test_stepwise_checkpoint_resumes_into_fused(tmp_path, tiny):
+    """Enabling --fused_accum on --resume: a stepwise MasterAccumState
+    checkpoint restores into the fused MasterWeightsState (master + Adam
+    moments carried, accumulator dropped at the cycle boundary) — and the
+    reverse direction restores back into MasterAccumState."""
+    from bitdistiller_tpu.train.pipeline import restore_checkpoint, save_checkpoint
+    from bitdistiller_tpu.train import trainer as tr
+
+    cfg, params = tiny
+    kw = dict(total_steps=8, grad_accum=4, param_dtype="bfloat16")
+    tc_sw = tr.TrainConfig(**kw)
+    state_sw = tr.init_train_state(params, tc_sw)
+    assert isinstance(state_sw.opt_state, tr.MasterAccumState)
+    # run one full cycle so Adam moments are non-zero
+    opt_sw = tr.make_optimizer(tc_sw)
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp.ones_like(x, jnp.float32), state_sw.params
+    )
+    opt_state = state_sw.opt_state
+    for _ in range(tc_sw.grad_accum):
+        _, opt_state = opt_sw.update(grads, opt_state, state_sw.params)
+    state_sw.opt_state = opt_state
+    assert int(opt_state.count) == 0  # cycle boundary
+    path = save_checkpoint(str(tmp_path / "sw"), 4, state_sw)
+
+    tc_f = tr.TrainConfig(**kw, fused_accum=True)
+    state_f = tr.init_train_state(params, tc_f)
+    assert isinstance(state_f.opt_state, tr.MasterWeightsState)
+    state_f = restore_checkpoint(path, state_f)
+    assert isinstance(state_f.opt_state, tr.MasterWeightsState)
+    np.testing.assert_allclose(
+        np.asarray(state_f.opt_state.master["layers"]["q"]["w"]),
+        np.asarray(opt_state.master["layers"]["q"]["w"]),
+    )
+    adam_sw = opt_state.inner[1][0]
+    adam_f = state_f.opt_state.inner[1][0]
+    assert int(adam_f.count) == int(adam_sw.count) == 1
+    np.testing.assert_allclose(
+        np.asarray(adam_f.mu["layers"]["q"]["w"]),
+        np.asarray(adam_sw.mu["layers"]["q"]["w"]),
+    )
+
+    # reverse: fused checkpoint -> stepwise MasterAccumState
+    path2 = save_checkpoint(str(tmp_path / "fused"), 8, state_f)
+    state_back = tr.init_train_state(params, tc_sw)
+    state_back = restore_checkpoint(path2, state_back)
+    assert isinstance(state_back.opt_state, tr.MasterAccumState)
+    assert int(state_back.opt_state.count) == 0
+    np.testing.assert_allclose(
+        np.asarray(state_back.opt_state.master["layers"]["q"]["w"]),
+        np.asarray(opt_state.master["layers"]["q"]["w"]),
+    )
 
 
 def test_cli_parser_smoke():
